@@ -1,0 +1,146 @@
+"""Frame: per-image container tying the TPU front-end to the tracker.
+
+Replacement for src/Frame.cpp: runs ORB extraction (left [+ right]) through
+the jitted front-end, stereo matching or RGB-D depth-to-virtual-right
+conversion (Frame.cpp:996-1017), keypoint undistortion (Frame.cpp:718-748),
+and keeps the dense slot arrays (one per NMS-G tile) instead of compacted
+keypoint vectors — validity masks replace compaction.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.stereo import stereo_match, stack_pyramid
+
+
+def undistort_points(xy, fx, fy, cx, cy, k1, k2, p1, p2, k3=0.0, iters=5):
+    """Iterative undistortion (cv::undistortPoints semantics).
+
+    xy: (N, 2) pixel coords.  No-op when all coefficients are zero
+    (pre-rectified stereo, Frame.cpp:718-721).
+    """
+    if k1 == 0 and k2 == 0 and p1 == 0 and p2 == 0 and k3 == 0:
+        return xy.copy()
+    x = (xy[:, 0] - cx) / fx
+    y = (xy[:, 1] - cy) / fy
+    x0, y0 = x.copy(), y.copy()
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        x = (x0 - dx) / radial
+        y = (y0 - dy) / radial
+    return np.stack([x * fx + cx, y * fy + cy], axis=1)
+
+
+class Frame:
+    _next_id = 0
+
+    def __init__(self, frontend, cam, timestamp, left_img, right_img=None,
+                 depth_img=None):
+        """frontend: OrbFrontend (shared); cam: CameraConfig."""
+        self.timestamp = float(timestamp)
+        self.frame_id = Frame._next_id
+        Frame._next_id += 1
+        self.cam = cam
+        geom = frontend.geom
+        self.geom = geom
+
+        left = frontend.extract(left_img)
+        self.n_slots = frontend.n_slots_padded
+        self.valid = np.asarray(left.valid)
+        self.kp_xy_raw = np.stack([np.asarray(left.xs), np.asarray(left.ys)], axis=1)
+        self.octave = np.asarray(left.octave)
+        self.angle = np.asarray(left.angle)
+        self.response = np.asarray(left.response)
+        self.desc = np.asarray(left.desc)
+        self._left_result = left
+
+        self.u_right = np.full(self.n_slots, -1.0, np.float32)
+        self.depth = np.full(self.n_slots, -1.0, np.float32)
+
+        if right_img is not None:
+            right = frontend.extract(right_img)
+            pyr_l = stack_pyramid(frontend.compute_pyramid(jnp.asarray(left_img)),
+                                  geom.heights[0], geom.widths[0])
+            pyr_r = stack_pyramid(frontend.compute_pyramid(jnp.asarray(right_img)),
+                                  geom.heights[0], geom.widths[0])
+            u_r, dep, _ = stereo_match(
+                left, right, pyr_l, pyr_r,
+                np.asarray(geom.widths, np.int32),
+                np.asarray(geom.scales, np.float32),
+                np.asarray(geom.inv_scales, np.float32),
+                cam.bf, cam.bf / cam.fx, geom.n_levels)
+            self.u_right = np.asarray(u_r)
+            self.depth = np.asarray(dep)
+        elif depth_img is not None:
+            # RGB-D: virtual right coordinate (Frame.cpp:996-1017)
+            d = np.asarray(depth_img)
+            xs = np.clip(self.kp_xy_raw[:, 0].astype(np.int64), 0, d.shape[1] - 1)
+            ys = np.clip(self.kp_xy_raw[:, 1].astype(np.int64), 0, d.shape[0] - 1)
+            z = d[ys, xs]
+            pos = (z > 0) & self.valid
+            self.depth = np.where(pos, z, -1.0).astype(np.float32)
+            self.u_right = np.where(
+                pos, self.kp_xy_raw[:, 0] - cam.bf / np.maximum(z, 1e-6), -1.0
+            ).astype(np.float32)
+
+        self.kp_xy = undistort_points(
+            self.kp_xy_raw, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.k1, cam.k2, cam.p1, cam.p2, cam.k3).astype(np.float32)
+
+        # pose (world -> camera), set by the tracker
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.pose_set = False
+        # per-slot associated map point id (-1 = none) and outlier flag
+        self.map_points = np.full(self.n_slots, -1, np.int32)
+        self.outlier = np.zeros(self.n_slots, bool)
+        self.ref_kf = -1
+
+    # ------------------------------------------------------------------
+    def set_pose(self, Tcw):
+        self.Tcw = np.asarray(Tcw, np.float32)
+        self.pose_set = True
+
+    @property
+    def Rcw(self):
+        return self.Tcw[:3, :3]
+
+    @property
+    def tcw(self):
+        return self.Tcw[:3, 3]
+
+    @property
+    def camera_center(self):
+        return -self.Rcw.T @ self.tcw
+
+    @property
+    def Twc(self):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = self.Rcw.T
+        T[:3, 3] = self.camera_center
+        return T
+
+    def unproject_stereo(self, slot):
+        """Frame::UnprojectStereo — world coords of a stereo keypoint."""
+        z = self.depth[slot]
+        if z <= 0:
+            return None
+        u, v = self.kp_xy[slot]
+        x = (u - self.cam.cx) * z / self.cam.fx
+        y = (v - self.cam.cy) * z / self.cam.fy
+        pc = np.array([x, y, z], np.float32)
+        return self.Rcw.T @ (pc - self.tcw)
+
+    def unproject_stereo_batch(self, slots):
+        z = self.depth[slots]
+        u = self.kp_xy[slots, 0]
+        v = self.kp_xy[slots, 1]
+        x = (u - self.cam.cx) * z / self.cam.fx
+        y = (v - self.cam.cy) * z / self.cam.fy
+        pc = np.stack([x, y, z], axis=1)
+        return (self.Rcw.T @ (pc - self.tcw).T).T

@@ -1,0 +1,245 @@
+"""Map store: struct-of-arrays replacement for Map/MapPoint/KeyFrame graphs.
+
+The reference keeps the map as pointer graphs guarded by mutexes
+(src/Map.cpp, src/MapPoint.cpp, src/KeyFrame.cpp).  Here the map is a set of
+capacity-padded NumPy SoA tables with alive masks — host-side bookkeeping
+feeding fixed-shape device batches (SURVEY.md §7.1 "Map state").  Covisibility
+is derived from the observation table on demand rather than maintained as a
+mutable weighted graph (KeyFrame::UpdateConnections semantics,
+KeyFrame.cpp:293-360).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+COVIS_TH = 15  # reference KeyFrame.cpp:334
+
+
+class MapStore:
+    def __init__(self, max_points=65536, max_keyframes=512, n_slots=4096):
+        P, K, S = max_points, max_keyframes, n_slots
+        self.max_points, self.max_keyframes, self.n_slots = P, K, S
+
+        # ---- map points ----
+        self.pt_alive = np.zeros(P, bool)
+        self.pt_pos = np.zeros((P, 3), np.float32)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_desc = np.zeros((P, 32), np.uint8)
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.zeros(P, np.float32)
+        self.pt_nobs = np.zeros(P, np.int32)
+        self.pt_visible = np.ones(P, np.int32)   # MapPoint::mnVisible (init 1)
+        self.pt_found = np.ones(P, np.int32)     # MapPoint::mnFound (init 1)
+        self.pt_first_kf = np.full(P, -1, np.int32)
+        self.pt_ref_kf = np.full(P, -1, np.int32)
+        self._next_pt = 0
+
+        # ---- keyframes ----
+        self.kf_alive = np.zeros(K, bool)
+        self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))  # Tcw
+        self.kf_timestamp = np.zeros(K, np.float64)
+        self.kf_frame_id = np.zeros(K, np.int64)
+        self.kf_kp_xy = np.zeros((K, S, 2), np.float32)   # undistorted level-0
+        self.kf_kp_octave = np.zeros((K, S), np.int32)
+        self.kf_kp_angle = np.zeros((K, S), np.float32)
+        self.kf_kp_ur = np.full((K, S), -1.0, np.float32)
+        self.kf_kp_depth = np.full((K, S), -1.0, np.float32)
+        self.kf_desc = np.zeros((K, S, 32), np.uint8)
+        self.kf_kp_valid = np.zeros((K, S), bool)
+        self.kf_obs = np.full((K, S), -1, np.int32)       # slot -> point id
+        self._next_kf = 0
+
+    # ------------------------------------------------------------- points
+    def add_point(self, pos, desc, ref_kf, normal=None, min_dist=0.0, max_dist=1.0):
+        pid = self._alloc_pt()
+        self.pt_alive[pid] = True
+        self.pt_pos[pid] = pos
+        self.pt_desc[pid] = desc
+        self.pt_normal[pid] = normal if normal is not None else (0, 0, 1)
+        self.pt_min_dist[pid] = min_dist
+        self.pt_max_dist[pid] = max_dist
+        self.pt_nobs[pid] = 0
+        self.pt_visible[pid] = 1
+        self.pt_found[pid] = 1
+        self.pt_first_kf[pid] = ref_kf
+        self.pt_ref_kf[pid] = ref_kf
+        return pid
+
+    def _alloc_pt(self):
+        # linear scan from cursor; wraps once (free-list light)
+        P = self.max_points
+        for _ in range(P):
+            pid = self._next_pt
+            self._next_pt = (self._next_pt + 1) % P
+            if not self.pt_alive[pid]:
+                return pid
+        raise RuntimeError("map point capacity exhausted")
+
+    def add_observation(self, kf, slot, pid):
+        if self.kf_obs[kf, slot] == pid:
+            return
+        self.kf_obs[kf, slot] = pid
+        # stereo observations count twice (MapPoint::AddObservation semantics)
+        self.pt_nobs[pid] += 2 if self.kf_kp_ur[kf, slot] >= 0 else 1
+
+    def erase_observation(self, kf, slot):
+        pid = self.kf_obs[kf, slot]
+        if pid < 0:
+            return
+        self.kf_obs[kf, slot] = -1
+        self.pt_nobs[pid] -= 2 if self.kf_kp_ur[kf, slot] >= 0 else 1
+        # MapPoint::EraseObservation: die below 2 observations
+        if self.pt_nobs[pid] <= 2 and self.pt_alive[pid]:
+            self.erase_point(pid)
+
+    def erase_point(self, pid):
+        self.pt_alive[pid] = False
+        mask = self.kf_obs == pid
+        self.kf_obs[mask] = -1
+
+    def observations_of(self, pid):
+        """Returns (kf_ids, slots) observing pid."""
+        kfs, slots = np.nonzero(self.kf_obs == pid)
+        return kfs, slots
+
+    def replace_point(self, old, new):
+        """MapPoint::Replace — forward observations, merge counters."""
+        if old == new:
+            return
+        kfs, slots = self.observations_of(old)
+        for k, s in zip(kfs, slots):
+            if new not in self.kf_obs[k]:
+                self.kf_obs[k, s] = new
+                self.pt_nobs[new] += 2 if self.kf_kp_ur[k, s] >= 0 else 1
+            else:
+                self.kf_obs[k, s] = -1
+        self.pt_visible[new] += self.pt_visible[old]
+        self.pt_found[new] += self.pt_found[old]
+        self.pt_alive[old] = False
+        self.compute_distinctive_descriptor(new)
+
+    def compute_distinctive_descriptor(self, pid):
+        """Min-median-Hamming among observing keyframes' descriptors
+        (MapPoint::ComputeDistinctiveDescriptors)."""
+        kfs, slots = self.observations_of(pid)
+        if len(kfs) == 0:
+            return
+        descs = self.kf_desc[kfs, slots]  # (M, 32)
+        if len(descs) == 1:
+            self.pt_desc[pid] = descs[0]
+            return
+        bits = np.unpackbits(descs[:, None, :] ^ descs[None, :, :], axis=-1)
+        dist = bits.sum(-1)  # (M, M)
+        medians = np.median(dist, axis=1)
+        self.pt_desc[pid] = descs[int(np.argmin(medians))]
+
+    def update_normal_and_depth(self, pid, scale_factors, n_levels):
+        """MapPoint::UpdateNormalAndDepth."""
+        kfs, slots = self.observations_of(pid)
+        if len(kfs) == 0 or self.pt_ref_kf[pid] < 0:
+            return
+        pos = self.pt_pos[pid]
+        centers = -np.einsum("kij,ki->kj", self.kf_pose[kfs, :3, :3].transpose(0, 2, 1),
+                             self.kf_pose[kfs, :3, 3])
+        normals = pos[None] - centers
+        norms = np.linalg.norm(normals, axis=1, keepdims=True)
+        normals = normals / np.maximum(norms, 1e-9)
+        self.pt_normal[pid] = normals.mean(axis=0)
+        ref = self.pt_ref_kf[pid]
+        if not self.kf_alive[ref]:
+            ref = kfs[0]
+            self.pt_ref_kf[pid] = ref
+        ref_center = -self.kf_pose[ref, :3, :3].T @ self.kf_pose[ref, :3, 3]
+        dist = float(np.linalg.norm(pos - ref_center))
+        ref_slot = slots[kfs == ref]
+        level = int(self.kf_kp_octave[ref, ref_slot[0]]) if len(ref_slot) else 0
+        sf = scale_factors[level]
+        self.pt_max_dist[pid] = dist * sf
+        self.pt_min_dist[pid] = self.pt_max_dist[pid] / scale_factors[n_levels - 1]
+
+    # --------------------------------------------------------- keyframes
+    def add_keyframe(self, frame):
+        """Snapshot a Frame (core/frame.py) into the keyframe table."""
+        kid = self._next_kf
+        if kid >= self.max_keyframes:
+            raise RuntimeError("keyframe capacity exhausted")
+        self._next_kf += 1
+        self.kf_alive[kid] = True
+        self.kf_pose[kid] = frame.Tcw
+        self.kf_timestamp[kid] = frame.timestamp
+        self.kf_frame_id[kid] = frame.frame_id
+        S = min(self.n_slots, len(frame.kp_xy))
+        self.kf_kp_xy[kid, :S] = frame.kp_xy[:S]
+        self.kf_kp_octave[kid, :S] = frame.octave[:S]
+        self.kf_kp_angle[kid, :S] = frame.angle[:S]
+        self.kf_kp_ur[kid, :S] = frame.u_right[:S]
+        self.kf_kp_depth[kid, :S] = frame.depth[:S]
+        self.kf_desc[kid, :S] = frame.desc[:S]
+        self.kf_kp_valid[kid, :S] = frame.valid[:S]
+        obs = frame.map_points[:S].copy()
+        self.kf_obs[kid, :S] = np.where(frame.valid[:S], obs, -1)
+        for slot in np.flatnonzero(self.kf_obs[kid] >= 0):
+            pid = self.kf_obs[kid, slot]
+            if self.pt_alive[pid]:
+                self.pt_nobs[pid] += 2 if self.kf_kp_ur[kid, slot] >= 0 else 1
+            else:
+                self.kf_obs[kid, slot] = -1
+        return kid
+
+    def erase_keyframe(self, kid):
+        """KeyFrame::SetBadFlag (graph surgery simplified: observations drop)."""
+        for slot in np.flatnonzero(self.kf_obs[kid] >= 0):
+            self.erase_observation(kid, slot)
+        self.kf_alive[kid] = False
+
+    def keyframe_ids(self):
+        return np.flatnonzero(self.kf_alive)
+
+    def n_keyframes(self):
+        return int(self.kf_alive.sum())
+
+    def n_points(self):
+        return int(self.pt_alive.sum())
+
+    def camera_center(self, kid):
+        R = self.kf_pose[kid, :3, :3]
+        t = self.kf_pose[kid, :3, 3]
+        return -R.T @ t
+
+    # ------------------------------------------------------- covisibility
+    def covisibility_weights(self, kid):
+        """#shared map points between kid and every other keyframe: (K,) int32."""
+        obs = self.kf_obs[kid]
+        pids = obs[obs >= 0]
+        if len(pids) == 0:
+            return np.zeros(self.max_keyframes, np.int32)
+        seen = np.zeros(self.max_points, bool)
+        seen[pids] = True
+        shared = seen[np.where(self.kf_obs >= 0, self.kf_obs, 0)] & (self.kf_obs >= 0)
+        w = shared.sum(axis=1).astype(np.int32)
+        w[kid] = 0
+        w[~self.kf_alive] = 0
+        return w
+
+    def covisible_keyframes(self, kid, n=None, min_weight=COVIS_TH):
+        w = self.covisibility_weights(kid)
+        ids = np.flatnonzero(w >= min_weight)
+        ids = ids[np.argsort(-w[ids], kind="stable")]
+        if n is not None:
+            ids = ids[:n]
+        if len(ids) == 0:  # KeyFrame::UpdateConnections: keep the best anyway
+            best = int(np.argmax(w))
+            if w[best] > 0:
+                ids = np.array([best])
+        return ids, w
+
+    def tracked_points_in_kf(self, kid, min_obs):
+        """KeyFrame::TrackedMapPoints(minObs)."""
+        obs = self.kf_obs[kid]
+        pids = obs[obs >= 0]
+        pids = pids[self.pt_alive[pids]]
+        if min_obs <= 0:
+            return len(pids)
+        return int((self.pt_nobs[pids] >= min_obs).sum())

@@ -1,0 +1,222 @@
+"""Batched data association: projection search, frustum culling, BoW-free
+brute-force matching.
+
+TPU re-design of src/ORBmatcher.cpp + the GPU kernels it drives
+(src/cuda/orb_matcher.cu batch project/Hamming,
+src/cuda/tracking_isinfrustum.cu batch visibility):
+
+- `search_by_projection_last`  <- ORBmatcher::SearchByProjection(F, LastFrame,
+  th, bMono) (ORBmatcher.cpp:1315-1966): motion-model tracking.
+- `frustum_check`              <- isInFrustum_GPU (tracking_isinfrustum.cu:19-110).
+- `search_by_projection_points`<- ORBmatcher::SearchByProjection(F, vpMapPoints,
+  th) (ORBmatcher.cpp:32-144): local-map tracking.
+- `match_brute_force`          <- ORBmatcher::SearchByBoW semantics without the
+  vocabulary speedup (same gates: TH_LOW, ratio test, rotation histogram).
+
+All functions are jitted over dense padded slot arrays; candidate gating is a
+(Q, S) mask, Hamming distances ride the MXU (ops/hamming.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hamming import hamming_matrix
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_LENGTH = 30
+BIG = jnp.int32(1 << 29)
+
+
+def rotation_consistency(rot_deg, matched):
+    """Keep only matches whose angle difference falls in the 3 largest of 30
+    bins (ORBmatcher::ComputeThreeMaxima, ORBmatcher.cpp:2097-2141)."""
+    bin_f = jnp.round(rot_deg * (HISTO_LENGTH / 360.0))
+    bin_i = jnp.where(bin_f == HISTO_LENGTH, 0, bin_f).astype(jnp.int32) % HISTO_LENGTH
+    counts = jnp.zeros(HISTO_LENGTH, jnp.int32).at[
+        jnp.where(matched, bin_i, 0)].add(jnp.where(matched, 1, 0))
+    top_vals, top_idx = jax.lax.top_k(counts, 3)
+    # reference: 2nd/3rd bins dropped when below 0.1 * max count
+    keep = top_vals.astype(jnp.float32) > 0.1 * top_vals[0].astype(jnp.float32)
+    keep = keep.at[0].set(top_vals[0] > 0)
+    keep_bin = jnp.zeros(HISTO_LENGTH, bool).at[top_idx].set(keep)
+    return matched & jnp.take(keep_bin, bin_i)
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def search_by_projection_last(
+    Rcw, tcw,
+    last_pw, last_has_pt, last_octave, last_angle, last_desc, last_is_stereo,
+    cur_xy, cur_octave, cur_angle, cur_desc, cur_valid, cur_ur,
+    th, scale_factors, n_levels: int,
+    fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y, forward, backward,
+):
+    """Motion-model projection search (spec: ORBmatcher.cpp:1315-1966).
+
+    Per last-frame slot carrying a map point: project its world position into
+    the current frame; candidate current slots within radius
+    th*scale_factor[last_octave], octave gated by the camera's forward/backward
+    motion; pick min-Hamming <= TH_HIGH; then rotation-histogram filter.
+
+    Returns per-current-slot index into last slots (-1 = unmatched), with the
+    reference's iteration-order overwrite semantics (higher last slot wins).
+    """
+    S_last = last_pw.shape[0]
+    S_cur = cur_xy.shape[0]
+    sf = jnp.asarray(scale_factors, jnp.float32)
+
+    pc = last_pw @ Rcw.T + tcw
+    z = pc[:, 2]
+    invz = 1.0 / jnp.maximum(z, 1e-9)
+    u = fx * pc[:, 0] * invz + cx
+    v = fy * pc[:, 1] * invz + cy
+    ur_proj = u - bf * invz
+
+    proj_ok = last_has_pt & (z > 0) & (u >= min_x) & (u <= max_x) & \
+        (v >= min_y) & (v <= max_y)
+
+    radius = th * jnp.take(sf, last_octave)
+    lo = last_octave
+    oct_lo = jnp.where(forward, lo, jnp.where(backward, 0, lo - 1))
+    oct_hi = jnp.where(forward, n_levels - 1, jnp.where(backward, lo, lo + 1))
+
+    du = jnp.abs(cur_xy[None, :, 0] - u[:, None])
+    dv = jnp.abs(cur_xy[None, :, 1] - v[:, None])
+    in_window = (du < radius[:, None]) & (dv < radius[:, None])
+    oct_ok = (cur_octave[None, :] >= oct_lo[:, None]) & \
+        (cur_octave[None, :] <= oct_hi[:, None])
+    stereo_ok = jnp.where(
+        cur_ur[None, :] > 0,
+        jnp.abs(ur_proj[:, None] - cur_ur[None, :]) < radius[:, None],
+        True)
+    cand = proj_ok[:, None] & cur_valid[None, :] & in_window & oct_ok & stereo_ok
+
+    dist = jnp.where(cand, hamming_matrix(last_desc, cur_desc), BIG)
+    best_cur = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_cur[:, None], axis=1)[:, 0]
+    matched = best_dist <= TH_HIGH
+
+    rot = last_angle - jnp.take(cur_angle, best_cur)
+    matched = rotation_consistency(rot, matched)
+
+    # scatter: cur slot <- last slot (later last slots overwrite, like the
+    # reference's sequential loop)
+    out = jnp.full(S_cur, -1, jnp.int32)
+    tgt = jnp.where(matched, best_cur, S_cur)
+    out = jnp.zeros(S_cur + 1, jnp.int32).at[:].set(-1).at[tgt].set(
+        jnp.arange(S_last, dtype=jnp.int32), mode="drop")[:S_cur]
+    return out, matched
+
+
+@jax.jit
+def frustum_check(pw, pn, max_dist_raw, min_dist_raw, Rcw, tcw, Ow,
+                  fx, fy, cx, cy, min_x, max_x, min_y, max_y,
+                  n_levels, log_scale, view_cos_th, alive):
+    """Batch MapPoint visibility (spec: tracking_isinfrustum.cu:19-110).
+
+    max/min_dist_raw are the unscaled mfMax/MinDistance; gating uses the
+    [0.8, 1.2]x invariances like MapPoint::Get{Min,Max}DistanceInvariance,
+    while scale prediction uses the raw max distance (kernel line 83).
+    Returns (ok, u, v, invz, predicted_level, view_cos).
+    """
+    pc = pw @ Rcw.T + tcw
+    z = pc[:, 2]
+    invz = 1.0 / jnp.maximum(z, 1e-9)
+    u = fx * pc[:, 0] * invz + cx
+    v = fy * pc[:, 1] * invz + cy
+    po = pw - Ow
+    dist = jnp.linalg.norm(po, axis=1)
+    view_cos = jnp.sum(po * pn, axis=1) / jnp.maximum(dist, 1e-9)
+    ratio = max_dist_raw / jnp.maximum(dist, 1e-9)
+    level = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale).astype(jnp.int32)
+    level = jnp.clip(level, 0, n_levels - 1)
+    ok = (
+        alive & (z > 0)
+        & (u >= min_x) & (u <= max_x) & (v >= min_y) & (v <= max_y)
+        & (dist >= 0.8 * min_dist_raw) & (dist <= 1.2 * max_dist_raw)
+        & (view_cos >= view_cos_th)
+    )
+    return ok, u, v, invz, level, view_cos
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def search_by_projection_points(
+    u, v, ur_proj, pred_level, view_cos, pt_ok, pt_desc,
+    cur_xy, cur_octave, cur_desc, cur_valid, cur_ur, cur_free,
+    th, scale_factors, n_levels: int, nn_ratio=0.8,
+):
+    """Local-map projection search (spec: ORBmatcher.cpp:32-144).
+
+    Inputs u/v/pred_level/view_cos come from frustum_check.  cur_free masks
+    current slots that do not already hold a map point observation.
+    Returns per-current-slot index into the point list (-1 = none).
+    """
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0) * th
+    radius = r * jnp.take(sf, pred_level)
+
+    du = jnp.abs(cur_xy[None, :, 0] - u[:, None])
+    dv = jnp.abs(cur_xy[None, :, 1] - v[:, None])
+    in_window = (du < radius[:, None]) & (dv < radius[:, None])
+    oct_ok = (cur_octave[None, :] >= pred_level[:, None] - 1) & \
+        (cur_octave[None, :] <= pred_level[:, None])
+    cand = pt_ok[:, None] & cur_valid[None, :] & cur_free[None, :] & \
+        in_window & oct_ok
+
+    dist = jnp.where(cand, hamming_matrix(pt_desc, cur_desc), BIG)
+    # best and second best with level bookkeeping
+    best_cur = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_cur[:, None], axis=1)[:, 0]
+    best_level = jnp.take(cur_octave, best_cur)
+    dist2 = dist.at[jnp.arange(dist.shape[0]), best_cur].set(BIG)
+    second_cur = jnp.argmin(dist2, axis=1)
+    second_dist = jnp.take_along_axis(dist2, second_cur[:, None], axis=1)[:, 0]
+    second_level = jnp.take(cur_octave, second_cur)
+
+    ratio_reject = (best_level == second_level) & \
+        (best_dist.astype(jnp.float32) > nn_ratio * second_dist.astype(jnp.float32))
+    matched = (best_dist <= TH_HIGH) & ~ratio_reject
+
+    S_cur = cur_xy.shape[0]
+    tgt = jnp.where(matched, best_cur, S_cur)
+    out = jnp.zeros(S_cur + 1, jnp.int32).at[:].set(-1).at[tgt].set(
+        jnp.arange(u.shape[0], dtype=jnp.int32), mode="drop")[:S_cur]
+    return out
+
+
+@jax.jit
+def match_brute_force(desc_a, valid_a, angle_a, desc_b, valid_b, angle_b,
+                      check_rotation=True, nn_ratio=0.7):
+    """All-pairs descriptor matching with ratio + rotation gates.
+
+    Superset-candidate variant of ORBmatcher::SearchByBoW (ORBmatcher.cpp:146-
+    275): without the vocabulary the candidate set is all valid pairs; gates
+    (TH_LOW, nn ratio, rotation histogram) are identical.
+    Returns per-a-slot index into b (-1 = none).
+    """
+    dist = jnp.where(valid_a[:, None] & valid_b[None, :],
+                     hamming_matrix(desc_a, desc_b), BIG)
+    best_b = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_b[:, None], axis=1)[:, 0]
+    d2 = dist.at[jnp.arange(dist.shape[0]), best_b].set(BIG)
+    second = jnp.min(d2, axis=1)
+    matched = (best_dist <= TH_LOW) & \
+        (best_dist.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    rot = angle_a - jnp.take(angle_b, best_b)
+    matched = jnp.where(check_rotation, rotation_consistency(rot, matched), matched)
+    # enforce injectivity (one a per b): keep the best a per b
+    S_a, S_b = dist.shape
+    a_of_b = jnp.full(S_b + 1, -1, jnp.int32)
+    order = jnp.argsort(-best_dist)  # worse first, better overwrite
+    tgt = jnp.where(jnp.take(matched, order), jnp.take(best_b, order), S_b)
+    a_of_b = a_of_b.at[tgt].set(order.astype(jnp.int32), mode="drop")[:S_b]
+    match_a = jnp.full(S_a, -1, jnp.int32)
+    bidx = jnp.arange(S_b, dtype=jnp.int32)
+    src = jnp.where(a_of_b >= 0, a_of_b, S_a)
+    match_a = jnp.zeros(S_a + 1, jnp.int32).at[:].set(-1).at[src].set(
+        bidx, mode="drop")[:S_a]
+    return match_a, best_dist

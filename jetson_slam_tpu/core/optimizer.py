@@ -1,0 +1,155 @@
+"""JAX Levenberg-Marquardt optimizers replacing g2o.
+
+TPU-native replacement for src/Optimizer.cpp + Thirdparty/g2o:
+- `pose_optimization`  <- Optimizer::PoseOptimization (Optimizer.cpp:244-456):
+  motion-only BA, 4 rounds x 10 LM iterations, chi2 gates 5.991 (mono) /
+  7.815 (stereo), Huber kernel on rounds 0-2, outlier re-classification
+  between rounds, each round restarting from the input pose.
+- `local_bundle_adjustment` <- Optimizer::LocalBundleAdjustment
+  (Optimizer.cpp:458-784): cameras + landmarks with Schur complement on the
+  3x3 landmark blocks (see local_ba.py).
+
+Design differences from g2o (documented, intentional):
+- Jacobians come from `jax.jacfwd` of the residual at the identity
+  retraction — no hand-derived 2x6 blocks.
+- LM uses Nielsen damping with one trial step per iteration (g2o retries
+  failed steps inside one iteration); both drive rho-based lambda updates
+  and converge to the same optimum on these small problems.
+- Edges live in fixed-size padded arrays with weight masks instead of a
+  dynamic graph; "removing" an outlier edge is zeroing its weight.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.lie import exp_se3, se3_compose
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+LM_TAU = 1e-5
+
+
+def _project_stereo(Rcw, tcw, pw, fx, fy, cx, cy, bf):
+    """Returns (u, v, u_right) for a world point; z clamped to avoid NaNs."""
+    pc = Rcw @ pw + tcw
+    z = jnp.maximum(pc[2], 1e-6)
+    invz = 1.0 / z
+    u = fx * pc[0] * invz + cx
+    v = fy * pc[1] * invz + cy
+    ur = u - bf * invz
+    return jnp.stack([u, v, ur]), pc[2]
+
+
+def _residuals(xi, Rcw, tcw, points, obs, fx, fy, cx, cy, bf):
+    """Per-edge 3-residual (u, v, ur); mono edges mask the ur component.
+
+    xi is the local update: pose = exp(xi) * (Rcw, tcw) (g2o vertex oplus).
+    """
+    dR, dt = exp_se3(xi)
+    R, t = se3_compose(dR, dt, Rcw, tcw)
+
+    def one(pw, ob):
+        pred, _ = _project_stereo(R, t, pw, fx, fy, cx, cy, bf)
+        return pred - ob
+
+    return jax.vmap(one)(points, obs)
+
+
+@partial(jax.jit, static_argnames=())
+def pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
+                      fx, fy, cx, cy, bf):
+    """Motion-only bundle adjustment.
+
+    Args (all padded to fixed N):
+      Rcw, tcw: initial world->camera pose.
+      points: (N, 3) world positions of matched map points.
+      obs_uv: (N, 2) undistorted keypoint coords.
+      obs_ur: (N,) right-image u coord, < 0 for monocular observations.
+      inv_sigma2: (N,) per-octave information weight.
+      valid: (N,) bool mask of real (non-padded) correspondences.
+
+    Returns (Rcw', tcw', inlier (N,) bool, n_inliers int32).
+    """
+    N = points.shape[0]
+    is_stereo = obs_ur >= 0
+    obs = jnp.concatenate([obs_uv, jnp.where(is_stereo, obs_ur, 0.0)[:, None]], axis=1)
+    # residual component mask: mono edges use (u, v) only
+    comp_mask = jnp.stack(
+        [jnp.ones(N), jnp.ones(N), is_stereo.astype(jnp.float32)], axis=1)
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    resfn = lambda xi, R, t: _residuals(xi, R, t, points, obs, fx, fy, cx, cy, bf)
+    jacfn = jax.jacfwd(resfn)
+
+    def chi2_of(r):
+        return jnp.sum(r * r * comp_mask, axis=1) * inv_sigma2
+
+    def lm_solve(R0, t0, active, use_huber):
+        """10 LM iterations over the active edge set, from (R0, t0)."""
+        zero = jnp.zeros(6, dtype=tcw.dtype)
+
+        def total_cost(R, t):
+            r = resfn(zero, R, t)
+            chi2 = chi2_of(r)
+            # robust cost (g2o rho[0]) for the acceptance test
+            d = jnp.sqrt(delta2)
+            e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            huber = jnp.where(chi2 <= delta2, chi2, 2.0 * d * e - delta2)
+            cost = jnp.where(use_huber, huber, chi2)
+            return jnp.sum(jnp.where(active, cost, 0.0))
+
+        def build(R, t):
+            r = resfn(zero, R, t)          # (N, 3)
+            J = jacfn(zero, R, t)          # (N, 3, 6)
+            chi2 = chi2_of(r)
+            w_huber = jnp.where(
+                chi2 <= delta2, 1.0,
+                jnp.sqrt(delta2) / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
+            w = jnp.where(use_huber, w_huber, 1.0) * inv_sigma2
+            w = jnp.where(active, w, 0.0)
+            Jm = J * comp_mask[:, :, None]
+            H = jnp.einsum("nij,nik,n->jk", Jm, Jm, w)
+            g = jnp.einsum("nij,ni,n->j", Jm, r * comp_mask, w)
+            return H, g
+
+        H0, _ = build(R0, t0)
+        lam0 = LM_TAU * jnp.max(jnp.diag(H0))
+
+        def body(_, state):
+            R, t, lam, nu = state
+            H, g = build(R, t)
+            dx = jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), -g)
+            dR, dt = exp_se3(dx)
+            Rn, tn = se3_compose(dR, dt, R, t)
+            f0 = total_cost(R, t)
+            f1 = total_cost(Rn, tn)
+            pred = 0.5 * jnp.dot(dx, lam * dx - g)
+            rho = (f0 - f1) / jnp.maximum(pred, 1e-12)
+            ok = (rho > 0) & jnp.all(jnp.isfinite(dx))
+            R = jnp.where(ok, Rn, R)
+            t = jnp.where(ok, tn, t)
+            lam = jnp.where(
+                ok, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                lam * nu)
+            nu = jnp.where(ok, 2.0, nu * 2.0)
+            return R, t, lam, nu
+
+        R, t, _, _ = jax.lax.fori_loop(0, 10, body, (R0, t0, lam0, 2.0))
+        return R, t
+
+    inlier = valid
+    R_out, t_out = Rcw, tcw
+    zero = jnp.zeros(6, dtype=tcw.dtype)
+    for rnd in range(4):
+        use_huber = jnp.asarray(rnd < 3)
+        R_out, t_out = lm_solve(Rcw, tcw, inlier, use_huber)
+        r = resfn(zero, R_out, t_out)
+        chi2 = chi2_of(r)
+        inlier = valid & (chi2 <= delta2)
+
+    n_inliers = jnp.sum(inlier.astype(jnp.int32))
+    return R_out, t_out, inlier, n_inliers

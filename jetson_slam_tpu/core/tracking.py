@@ -1,0 +1,484 @@
+"""Tracking: sensor-agnostic front-end state machine.
+
+Replacement for src/Tracking.cpp: NO_IMAGES_YET / NOT_INITIALIZED / OK / LOST
+(Tracking.h:81-87), stereo/RGB-D initialization (Tracking.cpp:663-722),
+motion-model tracking (:1030-1115), reference-keyframe fallback (:919-961),
+local-map tracking (:1117-1177), keyframe decision (:1180-1264) and creation
+(:1266-1344).  Heavy math (projection search, frustum culling, pose
+optimization) runs in jitted device programs (core/matcher.py,
+core/optimizer.py); graph bookkeeping stays host-side on the MapStore.
+"""
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import matcher
+from .frame import Frame
+from .map import MapStore
+from .optimizer import pose_optimization
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+class Tracker:
+    def __init__(self, frontend, cam, map_store: MapStore, sensor="stereo",
+                 local_mapper=None, min_frames=0, max_frames=None):
+        self.frontend = frontend
+        self.cam = cam
+        self.map = map_store
+        self.sensor = sensor
+        self.local_mapper = local_mapper
+        self.state = TrackingState.NO_IMAGES_YET
+        self.velocity = None          # 4x4 Tcl (current-from-last motion)
+        self.last_frame: Frame | None = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.last_reloc_frame_id = -1000000
+        self.min_frames = min_frames
+        self.max_frames = int(max_frames if max_frames is not None else cam.fps)
+        self.th_depth = cam.th_depth * cam.bf / cam.fx  # ThDepth * baseline
+        g = frontend.geom
+        self.scale_factors = np.asarray(g.scales, np.float32)
+        self.log_scale = float(np.log(g.scale_factor))
+        self.n_levels = g.n_levels
+        self.inv_level_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
+        self.min_x, self.max_x = 0.0, float(g.widths[0])
+        self.min_y, self.max_y = 0.0, float(g.heights[0])
+        self.trajectory = []          # (timestamp, Tcw, ref_kf, is_lost)
+        self.matches_inliers = 0
+        # temp "visual odometry" points attached to the last frame
+        self._last_temp_world = None
+        self._last_temp_flag = None
+
+    # ================================================================ api
+    def track_stereo(self, left, right, timestamp):
+        frame = Frame(self.frontend, self.cam, timestamp, left, right_img=right)
+        return self._track(frame)
+
+    def track_rgbd(self, rgb, depth, timestamp):
+        frame = Frame(self.frontend, self.cam, timestamp, rgb, depth_img=depth)
+        return self._track(frame)
+
+    # =============================================================== core
+    def _track(self, frame: Frame):
+        if self.state == TrackingState.NO_IMAGES_YET:
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._stereo_initialization(frame)
+        else:
+            ok = False
+            if self.state == TrackingState.OK:
+                if self.velocity is None or \
+                        frame.frame_id < self.last_reloc_frame_id + 2:
+                    ok = self._track_reference_keyframe(frame)
+                else:
+                    ok = self._track_with_motion_model(frame)
+                    if not ok:
+                        ok = self._track_reference_keyframe(frame)
+            else:
+                ok = self._relocalization(frame)
+
+            frame.ref_kf = self.ref_kf
+            if ok:
+                ok = self._track_local_map(frame)
+            self.state = TrackingState.OK if ok else TrackingState.LOST
+
+            if ok:
+                if self.last_frame is not None and self.last_frame.pose_set:
+                    last_twc = self.last_frame.Twc
+                    self.velocity = frame.Tcw @ last_twc
+                else:
+                    self.velocity = None
+                # drop outlier associations (Tracking.cpp:608-618)
+                out = frame.outlier & (frame.map_points >= 0)
+                frame.map_points[out] = -1
+                frame.outlier[:] = False
+                if self._need_new_keyframe(frame):
+                    self._create_new_keyframe(frame)
+
+        if frame.pose_set:
+            self.trajectory.append(
+                (frame.timestamp, frame.Tcw.copy(), frame.ref_kf,
+                 self.state == TrackingState.LOST))
+        self.last_frame = frame
+        return self.state, frame
+
+    # ==================================================== initialization
+    def _stereo_initialization(self, frame: Frame):
+        """Tracking::StereoInitialization (Tracking.cpp:663-722)."""
+        n_kp = int(frame.valid.sum())
+        if n_kp <= 500 * 0:  # reference gate is 500; tile budget caps counts,
+            pass             # so we gate on a fraction of slots instead
+        if n_kp < max(50, 0.02 * frame.n_slots):
+            return
+        frame.set_pose(np.eye(4, dtype=np.float32))
+        kid = self.map.add_keyframe(frame)
+        slots = np.flatnonzero((frame.depth > 0) & frame.valid)
+        if len(slots) < 20:
+            self.map.erase_keyframe(kid)
+            return
+        pw = frame.unproject_stereo_batch(slots)
+        for slot, pos in zip(slots, pw):
+            pid = self.map.add_point(pos, frame.desc[slot], kid)
+            self.map.add_observation(kid, slot, pid)
+            frame.map_points[slot] = pid
+        for slot in slots:
+            pid = frame.map_points[slot]
+            self.map.compute_distinctive_descriptor(pid)
+            self.map.update_normal_and_depth(pid, self.scale_factors, self.n_levels)
+        self.ref_kf = kid
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kid)
+
+    # ================================================== motion model
+    def _update_last_frame(self):
+        """Tracking::UpdateLastFrame: refresh pose from ref KF + spawn temp VO
+        points for close stereo depths (Tracking.cpp:963-1027)."""
+        lf = self.last_frame
+        # temp points: slots with depth in (0, th_depth] and no map point
+        depth = lf.depth
+        close = (depth > 0) & lf.valid
+        if close.sum() == 0:
+            self._last_temp_world = None
+            self._last_temp_flag = None
+            return
+        order = np.argsort(np.where(close, depth, np.inf))
+        n_close = int(((depth > 0) & (depth < self.th_depth) & lf.valid).sum())
+        n_take = max(min(100, int(close.sum())), n_close)
+        chosen = order[:n_take]
+        need = chosen[(lf.map_points[chosen] < 0)]
+        temp_flag = np.zeros(lf.n_slots, bool)
+        temp_world = np.zeros((lf.n_slots, 3), np.float32)
+        if len(need):
+            temp_flag[need] = True
+            temp_world[need] = lf.unproject_stereo_batch(need)
+        self._last_temp_world = temp_world
+        self._last_temp_flag = temp_flag
+
+    def _track_with_motion_model(self, frame: Frame):
+        """Tracking::TrackWithMotionModel (Tracking.cpp:1030-1115)."""
+        self._update_last_frame()
+        lf = self.last_frame
+        frame.set_pose(self.velocity @ lf.Tcw)
+
+        has_real = lf.map_points >= 0
+        pw = np.zeros((lf.n_slots, 3), np.float32)
+        pw[has_real] = self.map.pt_pos[lf.map_points[has_real]]
+        alive = np.zeros(lf.n_slots, bool)
+        alive[has_real] = self.map.pt_alive[lf.map_points[has_real]]
+        has_pt = alive.copy()
+        if self._last_temp_flag is not None:
+            has_pt |= self._last_temp_flag
+            pw[self._last_temp_flag] = self._last_temp_world[self._last_temp_flag]
+
+        th = 7.0 if self.sensor in ("stereo", "rgbd") else 15.0
+        match_slot = self._project_last(frame, pw, has_pt, th)
+        n = int((match_slot >= 0).sum())
+        if n < 20:
+            match_slot = self._project_last(frame, pw, has_pt, 2 * th)
+            n = int((match_slot >= 0).sum())
+        if n < 20:
+            return False
+        self._apply_last_matches(frame, match_slot)
+        n_map = self._optimize_pose(frame)
+        return n_map >= 10
+
+    def _project_last(self, frame, pw, has_pt, th):
+        lf = self.last_frame
+        tlc = (frame.Tcw @ lf.Twc)[:3, 3]
+        mb = self.cam.bf / self.cam.fx
+        forward = tlc[2] > mb and self.sensor != "mono"
+        backward = -tlc[2] > mb and self.sensor != "mono"
+        out, _ = matcher.search_by_projection_last(
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            jnp.asarray(pw), jnp.asarray(has_pt),
+            jnp.asarray(lf.octave), jnp.asarray(lf.angle), jnp.asarray(lf.desc),
+            jnp.asarray(lf.u_right >= 0),
+            jnp.asarray(frame.kp_xy), jnp.asarray(frame.octave),
+            jnp.asarray(frame.angle), jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid), jnp.asarray(frame.u_right),
+            float(th), self.scale_factors, self.n_levels,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
+            mb, self.min_x, self.max_x, self.min_y, self.max_y,
+            bool(forward), bool(backward))
+        return np.asarray(out)
+
+    def _apply_last_matches(self, frame, match_slot):
+        """match_slot: per-current-slot index into last-frame slots."""
+        lf = self.last_frame
+        cur = np.flatnonzero(match_slot >= 0)
+        last_slots = match_slot[cur]
+        pids = lf.map_points[last_slots]
+        frame.map_points[:] = -1
+        frame.temp_world = np.zeros((frame.n_slots, 3), np.float32)
+        frame.temp_flag = np.zeros(frame.n_slots, bool)
+        real = pids >= 0
+        frame.map_points[cur[real]] = pids[real]
+        if self._last_temp_flag is not None:
+            is_temp = self._last_temp_flag[last_slots]
+            frame.temp_flag[cur[is_temp]] = True
+            frame.temp_world[cur[is_temp]] = self._last_temp_world[last_slots[is_temp]]
+
+    # ================================================== pose refinement
+    def _optimize_pose(self, frame: Frame):
+        """PoseOptimization wrapper; returns #inliers with real map points."""
+        has_real = frame.map_points >= 0
+        temp_flag = getattr(frame, "temp_flag", None)
+        has_any = has_real.copy()
+        pts = np.zeros((frame.n_slots, 3), np.float32)
+        pts[has_real] = self.map.pt_pos[frame.map_points[has_real]]
+        if temp_flag is not None:
+            has_any |= temp_flag
+            pts[temp_flag] = frame.temp_world[temp_flag]
+        if has_any.sum() < 3:
+            return 0
+        inv_s2 = self.inv_level_sigma2[frame.octave]
+        R, t, inlier, _ = pose_optimization(
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw), jnp.asarray(pts),
+            jnp.asarray(frame.kp_xy), jnp.asarray(frame.u_right),
+            jnp.asarray(inv_s2), jnp.asarray(has_any),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(R)
+        T[:3, 3] = np.asarray(t)
+        frame.set_pose(T)
+        inlier = np.asarray(inlier)
+        frame.outlier = has_any & ~inlier
+        return int((inlier & has_real).sum())
+
+    # ================================================== reference KF
+    def _track_reference_keyframe(self, frame: Frame):
+        """Tracking::TrackReferenceKeyFrame (Tracking.cpp:919-961)."""
+        if self.ref_kf < 0:
+            return False
+        kid = self.ref_kf
+        m = self.map
+        match, _ = matcher.match_brute_force(
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle),
+            jnp.asarray(m.kf_desc[kid]),
+            jnp.asarray(m.kf_kp_valid[kid] & (m.kf_obs[kid] >= 0)),
+            jnp.asarray(m.kf_kp_angle[kid]), nn_ratio=0.7)
+        match = np.asarray(match)
+        cur = np.flatnonzero(match >= 0)
+        pids = m.kf_obs[kid][match[cur]]
+        good = (pids >= 0)
+        good[good] &= m.pt_alive[pids[good]]
+        if good.sum() < 15:
+            return False
+        frame.map_points[:] = -1
+        frame.map_points[cur[good]] = pids[good]
+        frame.temp_flag = np.zeros(frame.n_slots, bool)
+        frame.temp_world = np.zeros((frame.n_slots, 3), np.float32)
+        if self.last_frame is not None and self.last_frame.pose_set:
+            frame.set_pose(self.last_frame.Tcw)
+        else:
+            frame.set_pose(np.eye(4, dtype=np.float32))
+        n_map = self._optimize_pose(frame)
+        return n_map >= 10
+
+    # ================================================== local map
+    def _local_keyframes(self, frame):
+        """Tracking::UpdateLocalKeyFrames (covisibility vote, cap 80)."""
+        m = self.map
+        has = frame.map_points >= 0
+        pids = frame.map_points[has]
+        pids = pids[m.pt_alive[pids]]
+        if len(pids) == 0:
+            return np.array([], np.int64)
+        seen = np.zeros(m.max_points, bool)
+        seen[pids] = True
+        votes = (seen[np.where(m.kf_obs >= 0, m.kf_obs, 0)] & (m.kf_obs >= 0)).sum(1)
+        votes = votes * m.kf_alive
+        local = np.flatnonzero(votes > 0)
+        local = local[np.argsort(-votes[local], kind="stable")]
+        # add top-10 covisible neighbors of each (cap 80)
+        out = list(local[:80])
+        for k in local[:20]:
+            neigh, _ = m.covisible_keyframes(int(k), n=10)
+            for nk in neigh:
+                if nk not in out:
+                    out.append(int(nk))
+                    if len(out) >= 80:
+                        break
+            if len(out) >= 80:
+                break
+        if len(local):
+            self.ref_kf = int(local[0])
+            frame.ref_kf = self.ref_kf
+        return np.asarray(out, np.int64)
+
+    def _track_local_map(self, frame: Frame):
+        """Tracking::TrackLocalMap + SearchLocalPoints (Tracking.cpp:1117-1806)."""
+        m = self.map
+        local_kfs = self._local_keyframes(frame)
+        if len(local_kfs) == 0:
+            return False
+        obs = m.kf_obs[local_kfs]
+        pids = np.unique(obs[obs >= 0])
+        pids = pids[m.pt_alive[pids]]
+        in_frame = np.zeros(m.max_points, bool)
+        cur_pids = frame.map_points[frame.map_points >= 0]
+        in_frame[cur_pids] = True
+        m.pt_visible[cur_pids] += 1
+        cand = pids[~in_frame[pids]]
+        if len(cand):
+            cap = 1 << max(int(np.ceil(np.log2(max(len(cand), 128)))), 7)
+            pad = cap - len(cand)
+            idx = np.concatenate([cand, np.zeros(pad, np.int64)])
+            alive = np.concatenate([np.ones(len(cand), bool), np.zeros(pad, bool)])
+            ok, u, v, invz, lvl, vcos = matcher.frustum_check(
+                jnp.asarray(m.pt_pos[idx]), jnp.asarray(m.pt_normal[idx]),
+                jnp.asarray(m.pt_max_dist[idx]), jnp.asarray(m.pt_min_dist[idx]),
+                jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+                jnp.asarray(frame.camera_center),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.min_x, self.max_x, self.min_y, self.max_y,
+                self.n_levels, self.log_scale, 0.5, jnp.asarray(alive))
+            ok = np.asarray(ok)
+            m.pt_visible[idx[ok]] += 1
+            if ok.sum() > 0:
+                th = 1.0
+                if frame.frame_id < self.last_reloc_frame_id + 2:
+                    th = 5.0
+                ur_proj = np.asarray(u) - self.cam.bf * np.asarray(invz)
+                free = frame.map_points < 0
+                sel = matcher.search_by_projection_points(
+                    u, v, jnp.asarray(ur_proj), lvl, vcos, jnp.asarray(ok),
+                    jnp.asarray(m.pt_desc[idx]),
+                    jnp.asarray(frame.kp_xy), jnp.asarray(frame.octave),
+                    jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                    jnp.asarray(frame.u_right), jnp.asarray(free),
+                    th, self.scale_factors, self.n_levels)
+                sel = np.asarray(sel)
+                cur = np.flatnonzero(sel >= 0)
+                frame.map_points[cur] = idx[sel[cur]]
+
+        frame.temp_flag = np.zeros(frame.n_slots, bool)  # temp VO pts drop here
+        n_map = self._optimize_pose(frame)
+        # bookkeeping: found counts for inlier observations
+        has = (frame.map_points >= 0) & ~frame.outlier
+        m.pt_found[frame.map_points[has]] += 1
+        self.matches_inliers = int(
+            (has & (m.pt_nobs[np.maximum(frame.map_points, 0)] > 0)).sum())
+        if frame.frame_id < self.last_reloc_frame_id + self.max_frames and \
+                self.matches_inliers < 50:
+            return False
+        return self.matches_inliers >= 10  # reference uses 30; tile budget
+        # keeps slot counts lower than ORB-SLAM2's 1000+ features, so the
+        # inlier floor scales down accordingly.
+
+    # ================================================== keyframe policy
+    def _need_new_keyframe(self, frame: Frame):
+        """Tracking::NeedNewKeyFrame (Tracking.cpp:1180-1264)."""
+        m = self.map
+        n_kfs = m.n_keyframes()
+        if frame.frame_id < self.last_reloc_frame_id + self.max_frames and \
+                n_kfs > self.max_frames:
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
+        n_ref_matches = m.tracked_points_in_kf(self.ref_kf, min_obs) \
+            if self.ref_kf >= 0 else 0
+        idle = self.local_mapper.accepting() if self.local_mapper else True
+
+        n_tracked_close = 0
+        n_nontracked_close = 0
+        if self.sensor != "mono":
+            close = (frame.depth > 0) & (frame.depth < self.th_depth) & frame.valid
+            tracked = (frame.map_points >= 0) & ~frame.outlier
+            n_tracked_close = int((close & tracked).sum())
+            n_nontracked_close = int((close & ~tracked).sum())
+        need_close = (n_tracked_close < 100) and (n_nontracked_close > 70)
+
+        th_ref = 0.75 if n_kfs >= 2 else 0.4
+        if self.sensor == "mono":
+            th_ref = 0.9
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.max_frames
+        c1b = frame.frame_id >= self.last_kf_frame_id + self.min_frames and idle
+        c1c = self.sensor != "mono" and \
+            (self.matches_inliers < n_ref_matches * 0.25 or need_close)
+        c2 = (self.matches_inliers < n_ref_matches * th_ref or need_close) and \
+            self.matches_inliers > 15
+        if (c1a or c1b or c1c) and c2:
+            if idle:
+                return True
+            if self.local_mapper is not None:
+                self.local_mapper.interrupt_ba()
+                if self.sensor != "mono":
+                    return self.local_mapper.queue_len() < 3
+            return False
+        return False
+
+    def _create_new_keyframe(self, frame: Frame):
+        """Tracking::CreateNewKeyFrame (Tracking.cpp:1266-1344)."""
+        m = self.map
+        kid = m.add_keyframe(frame)
+        self.ref_kf = kid
+        frame.ref_kf = kid
+        if self.sensor != "mono":
+            depth = frame.depth
+            valid_d = (depth > 0) & frame.valid
+            order = np.argsort(np.where(valid_d, depth, np.inf))
+            n_points = 0
+            for slot in order:
+                if not valid_d[slot]:
+                    break
+                pid = frame.map_points[slot]
+                create = pid < 0 or not m.pt_alive[pid] or m.pt_nobs[pid] < 1
+                if create:
+                    pos = frame.unproject_stereo(slot)
+                    pid = m.add_point(pos, frame.desc[slot], kid)
+                    m.add_observation(kid, slot, pid)
+                    m.kf_obs[kid, slot] = pid
+                    frame.map_points[slot] = pid
+                    m.compute_distinctive_descriptor(pid)
+                    m.update_normal_and_depth(pid, self.scale_factors, self.n_levels)
+                n_points += 1
+                if depth[slot] > self.th_depth and n_points > 100:
+                    break
+        self.last_kf_frame_id = frame.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kid)
+
+    # ================================================== relocalization
+    def _relocalization(self, frame: Frame):
+        """Simplified relocalization: brute-force match against recent
+        keyframes + pose optimization (full BoW+EPnP lands with the bow/
+        module; reference Tracking.cpp:1954-2115)."""
+        m = self.map
+        kfs = m.keyframe_ids()[-10:]
+        for kid in kfs[::-1]:
+            match, _ = matcher.match_brute_force(
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.angle),
+                jnp.asarray(m.kf_desc[kid]),
+                jnp.asarray(m.kf_kp_valid[kid] & (m.kf_obs[kid] >= 0)),
+                jnp.asarray(m.kf_kp_angle[kid]), nn_ratio=0.75)
+            match = np.asarray(match)
+            cur = np.flatnonzero(match >= 0)
+            pids = m.kf_obs[kid][match[cur]]
+            good = pids >= 0
+            good[good] &= m.pt_alive[pids[good]]
+            if good.sum() < 15:
+                continue
+            frame.map_points[:] = -1
+            frame.map_points[cur[good]] = pids[good]
+            frame.temp_flag = np.zeros(frame.n_slots, bool)
+            frame.temp_world = np.zeros((frame.n_slots, 3), np.float32)
+            frame.set_pose(m.kf_pose[kid])
+            n = self._optimize_pose(frame)
+            if n >= 20:
+                self.last_reloc_frame_id = frame.frame_id
+                return True
+        return False

@@ -1,0 +1,75 @@
+"""Dataset drivers: EuRoC / KITTI / TUM RGB-D image-list loaders.
+
+Replaces the reference's Examples/ mains (stereo_euroc.cpp LoadImages
+:216-254, stereo_kitti.cpp, rgbd_tum.cpp) with Python loaders that yield
+(timestamp, left, right/depth) tuples.  Image decoding uses PIL when
+available; otherwise raw .npy/.npz sequences are supported so tests and
+benches never require external data.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+try:  # pragma: no cover - environment dependent
+    from PIL import Image
+
+    def _imread_gray(path):
+        return np.asarray(Image.open(path).convert("L"), dtype=np.uint8)
+except Exception:  # pragma: no cover
+    def _imread_gray(path):
+        if path.endswith(".npy"):
+            return np.load(path)
+        raise RuntimeError("PIL unavailable; only .npy images supported")
+
+
+def load_euroc_stereo(seq_dir: str, timestamp_file: str | None = None):
+    """EuRoC MAV layout: mav0/cam{0,1}/data/<ns>.png (stereo_euroc.cpp:216-254).
+
+    Yields (t_seconds, left_path, right_path); images must be rectified by the
+    caller (the reference reads LEFT.*/RIGHT.* rectification maps from YAML).
+    """
+    cam0 = os.path.join(seq_dir, "mav0", "cam0", "data")
+    cam1 = os.path.join(seq_dir, "mav0", "cam1", "data")
+    lefts = sorted(glob.glob(os.path.join(cam0, "*.png")))
+    entries = []
+    for lp in lefts:
+        ns = os.path.splitext(os.path.basename(lp))[0]
+        rp = os.path.join(cam1, ns + ".png")
+        if os.path.exists(rp):
+            entries.append((int(ns) * 1e-9, lp, rp))
+    return entries
+
+
+def load_kitti_stereo(seq_dir: str):
+    """KITTI odometry layout: image_0/ image_1/ + times.txt (stereo_kitti.cpp)."""
+    times_path = os.path.join(seq_dir, "times.txt")
+    with open(times_path) as f:
+        times = [float(x) for x in f.read().split()]
+    entries = []
+    for i, t in enumerate(times):
+        lp = os.path.join(seq_dir, "image_0", f"{i:06d}.png")
+        rp = os.path.join(seq_dir, "image_1", f"{i:06d}.png")
+        entries.append((t, lp, rp))
+    return entries
+
+
+def load_tum_rgbd(seq_dir: str, association_file: str):
+    """TUM RGB-D with an association file: `t rgb t depth` (rgbd_tum.cpp)."""
+    entries = []
+    with open(association_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = line.split()
+            entries.append((float(vals[0]),
+                            os.path.join(seq_dir, vals[1]),
+                            os.path.join(seq_dir, vals[3])))
+    return entries
+
+
+def imread_gray(path: str) -> np.ndarray:
+    return _imread_gray(path)

@@ -1,0 +1,171 @@
+"""Stereo keypoint matching: Hamming coarse match + window-L1 subpixel refine.
+
+TPU re-design of ORB_GPU::ORB_compute_stereo_match
+(src/cuda/orb_stereo_match.cu:105-580).  The reference's five CPU/GPU phases
+(row table -> candidate pairs -> batched Hamming -> per-left argmin -> 11x11
+window correlation via cuBLAS GEMV -> subpixel parabola -> median prune)
+become one jitted program over DENSE slot arrays:
+
+- candidate gating is a (KL, KR) boolean mask (row-band, disparity window,
+  |octave diff| <= 1) — no host-side pair lists;
+- Hamming distances are one MXU matmul (ops/hamming.py);
+- the window correlation gathers one 11x11 left patch and a 21-wide right
+  strip per matched slot, producing the 11 neighborhood L1 costs with a
+  single reduction (the cuBLAS-GEMV-with-ones trick is just a sum on TPU).
+
+Outputs are dense (KL,) arrays u_right / depth with -1 for unmatched slots,
+matching Frame::ComputeStereoMatches' mvuRight/mvDepth semantics.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hamming import hamming_matrix
+
+TH_HIGH = 100  # reference ORBmatcher.cpp:24-25
+TH_LOW = 50
+PATCH_W = 11       # reference PATCH_WINDOW (orb_stereo_match.cu:56)
+PATCH_HALF = 5
+NBRHOOD = 11       # reference NBRHOOD (orb_stereo_match.cu:60)
+NBR_HALF = 5
+INVALID = jnp.int32(1 << 29)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "min_z"))
+def stereo_match(
+    left, right,
+    pyr_left_stack, pyr_right_stack, level_widths,
+    scales, inv_scales,
+    mbf: float, min_z: float,
+    n_levels: int,
+):
+    """Dense stereo matching.
+
+    left/right: FrontendResult pytrees (dense slots).
+    pyr_*_stack: (L, H0, W0) uint8 — per-level images zero-padded to level-0
+    size (stacked so per-slot octave selection is a single dynamic_slice).
+    level_widths: (L,) int32 true widths per level.
+    Returns (u_right, depth, best_dist) each (KL,) float32/int32.
+    """
+    vL = left.ys    # level-0 float coords (already truncated ints)
+    uL = left.xs
+    vR = right.ys
+    uR = right.xs
+
+    KL = uL.shape[0]
+
+    scales_j = jnp.asarray(scales, jnp.float32)
+    inv_scales_j = jnp.asarray(inv_scales, jnp.float32)
+    r_right = 2.0 * jnp.take(scales_j, right.octave)     # row slack per right kp
+    # row table semantics: right kp spans rows [floor(vR-r), ceil(vR+r)];
+    # left looks up row int(vL)
+    row_lo = jnp.floor(vR - r_right)
+    row_hi = jnp.ceil(vR + r_right)
+    t_row = jnp.floor(vL)
+
+    max_d = mbf / min_z
+    ok = (
+        left.valid[:, None]
+        & right.valid[None, :]
+        & (t_row[:, None] >= row_lo[None, :])
+        & (t_row[:, None] <= row_hi[None, :])
+        & (jnp.abs(left.octave[:, None] - right.octave[None, :]) <= 1)
+        & (uR[None, :] >= uL[:, None] - max_d)
+        & (uR[None, :] <= uL[:, None])
+    )
+
+    dist = hamming_matrix(left.desc, right.desc)
+    dist = jnp.where(ok, dist, INVALID)
+    best_idx = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
+    # reference: init TH_HIGH, keep only if strictly better, then < (TH_HIGH+TH_LOW)/2
+    th_orb = (TH_HIGH + TH_LOW) // 2
+    matched = best_dist < th_orb
+
+    # ---- window correlation at the matched right keypoint ----
+    octave = left.octave
+    inv_s = jnp.take(inv_scales_j, octave)
+    s = jnp.take(scales_j, octave)
+    uR0 = jnp.take(uR, best_idx)
+    scaled_uR0 = jnp.round(uR0 * inv_s)
+    scaled_uL0 = jnp.round(uL * inv_s)
+    scaled_vL0 = jnp.round(vL * inv_s)
+    w_lvl = jnp.take(jnp.asarray(level_widths, jnp.int32), octave).astype(jnp.float32)
+    in_bounds = (scaled_uR0 - (PATCH_HALF + NBR_HALF) >= 0) & (
+        scaled_uR0 + (PATCH_HALF + NBR_HALF) < w_lvl)
+    matched = matched & in_bounds
+
+    xl = scaled_uL0.astype(jnp.int32)
+    xr = scaled_uR0.astype(jnp.int32)
+    yy = scaled_vL0.astype(jnp.int32)
+    lvl = octave
+
+    # clamp starts so dynamic_slice stays in range for unmatched slots
+    def safe_start(v, lo, hi):
+        return jnp.clip(v, lo, hi)
+
+    H0 = pyr_left_stack.shape[1]
+    W0 = pyr_left_stack.shape[2]
+
+    def window_costs(lvl_i, y_i, xl_i, xr_i):
+        y0 = safe_start(y_i - PATCH_HALF, 0, H0 - PATCH_W)
+        xl0 = safe_start(xl_i - PATCH_HALF, 0, W0 - PATCH_W)
+        xr0 = safe_start(xr_i - PATCH_HALF - NBR_HALF, 0, W0 - (PATCH_W + NBRHOOD - 1))
+        lpatch = jax.lax.dynamic_slice(
+            pyr_left_stack, (lvl_i, y0, xl0), (1, PATCH_W, PATCH_W))[0].astype(jnp.float32)
+        rstrip = jax.lax.dynamic_slice(
+            pyr_right_stack, (lvl_i, y0, xr0), (1, PATCH_W, PATCH_W + NBRHOOD - 1))[0].astype(jnp.float32)
+        lc = lpatch[PATCH_HALF, PATCH_HALF]
+        costs = []
+        for o in range(NBRHOOD):
+            rp = jax.lax.dynamic_slice(rstrip, (0, o), (PATCH_W, PATCH_W))
+            rc = rp[PATCH_HALF, PATCH_HALF]
+            costs.append(jnp.sum(jnp.abs((lpatch - lc) - (rp - rc))))
+        return jnp.stack(costs)
+
+    costs = jax.vmap(window_costs)(lvl, yy, xl, xr)  # (KL, 11)
+
+    best_r = jnp.argmin(costs, axis=1)
+    best_cost = jnp.take_along_axis(costs, best_r[:, None], axis=1)[:, 0]
+    interior = (best_r > 0) & (best_r < NBRHOOD - 1)
+    br = jnp.clip(best_r, 1, NBRHOOD - 2)
+    d1 = jnp.take_along_axis(costs, (br - 1)[:, None], axis=1)[:, 0]
+    d2 = jnp.take_along_axis(costs, br[:, None], axis=1)[:, 0]
+    d3 = jnp.take_along_axis(costs, (br + 1)[:, None], axis=1)[:, 0]
+    denom = 2.0 * (d1 + d3 - 2.0 * d2)
+    delta = jnp.where(jnp.abs(denom) > 0, (d1 - d3) / denom, 2.0)
+    good_delta = (delta >= -1.0) & (delta <= 1.0)
+
+    best_u_r = s * (scaled_uR0 + br.astype(jnp.float32) - NBR_HALF + delta)
+    disparity = uL - best_u_r
+    in_disp = (disparity >= 0.0) & (disparity < max_d)
+    clamped = disparity <= 0.0
+    disparity = jnp.where(clamped, 0.01, disparity)
+    best_u_r = jnp.where(clamped, uL - 0.01, best_u_r)
+
+    accept = matched & interior & good_delta & in_disp
+    depth = jnp.where(accept, mbf / disparity, -1.0)
+    u_right = jnp.where(accept, best_u_r, -1.0)
+
+    # ---- median-distance outlier pruning (orb_stereo_match.cu:565-580) ----
+    n_acc = jnp.sum(accept)
+    sort_costs = jnp.sort(jnp.where(accept, best_cost, jnp.inf))
+    median = sort_costs[jnp.clip(n_acc // 2, 0, KL - 1)]
+    th_dist = 1.5 * 1.4 * median
+    keep = accept & (best_cost < th_dist)
+    depth = jnp.where(keep, depth, -1.0)
+    u_right = jnp.where(keep, u_right, -1.0)
+    return u_right, depth, best_dist
+
+
+def stack_pyramid(levels, h0: int, w0: int):
+    """Zero-pad per-level images into one (L, H0, W0) uint8 stack."""
+    out = []
+    for im in levels:
+        h, w = im.shape
+        out.append(jnp.zeros((h0, w0), jnp.uint8).at[:h, :w].set(im))
+    return jnp.stack(out)
