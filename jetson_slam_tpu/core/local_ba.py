@@ -48,6 +48,17 @@ def local_ba(cam_R, cam_t, cam_fixed, pts,
              e_cam, e_pt, obs, is_stereo, inv_sigma2, e_valid,
              pt_edges,
              fx, fy, cx, cy, bf, its1: int = 5, its2: int = 10):
+    # TPU matmuls default to bf16 passes; the normal equations need full f32
+    with jax.default_matmul_precision("highest"):
+        return _local_ba(cam_R, cam_t, cam_fixed, pts, e_cam, e_pt, obs,
+                         is_stereo, inv_sigma2, e_valid, pt_edges,
+                         fx, fy, cx, cy, bf, its1, its2)
+
+
+def _local_ba(cam_R, cam_t, cam_fixed, pts,
+              e_cam, e_pt, obs, is_stereo, inv_sigma2, e_valid,
+              pt_edges,
+              fx, fy, cx, cy, bf, its1: int = 5, its2: int = 10):
     """Sparse LM with landmark Schur complement.
 
     Shapes: cam_* (C, ...), pts (P, 3), edges (E, ...), pt_edges (P, D)

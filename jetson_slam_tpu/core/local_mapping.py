@@ -1,0 +1,430 @@
+"""Local mapping: map-point culling, triangulation, fusion, local BA, KF culling.
+
+Replacement for src/LocalMapping.cpp.  The reference runs this as a separate
+thread polling a keyframe queue (LocalMapping.cpp:53-114); here it is a
+synchronous stage invoked per inserted keyframe (`process_pending`) — the
+host-side pipeline overlap arrives with the parallel/ module (SURVEY.md §7.1
+"Concurrency").
+
+Reference semantics preserved:
+- MapPointCulling (LocalMapping.cpp:176-211): found-ratio < 0.25, or < 3
+  observations two keyframes after creation; survivors graduate after 3.
+- CreateNewMapPoints (:213-458): triangulate against the 10 best covisible
+  neighbors, epipolar-gated matching, parallax vs stereo-depth arbitration,
+  reprojection + scale-consistency gates.
+- SearchInNeighbors (:460-540): bidirectional fuse with th=3.
+- LocalBundleAdjustment via core/local_ba.py (5+10 iterations, abortable).
+- KeyFrameCulling (:638-702): cull a covisible KF when >= 90% of its points
+  are seen >= 3 times elsewhere at same-or-finer scale.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import matcher
+from .local_ba import local_ba
+from .map import MapStore
+from .triangulation import epipolar_match, fundamental_matrix, triangulate_pairs
+
+
+class LocalMapper:
+    def __init__(self, map_store: MapStore, cam, geom, sensor="stereo",
+                 run_ba=True):
+        self.map = map_store
+        self.cam = cam
+        self.geom = geom
+        self.sensor = sensor
+        self.run_ba = run_ba
+        self.queue: list[int] = []
+        self._busy = 0
+        self.recent_points: list[tuple[int, int]] = []  # (pid, birth_kf)
+        self.scale_factors = np.asarray(geom.scales, np.float32)
+        self.sigma2 = (self.scale_factors ** 2).astype(np.float32)
+        self.inv_sigma2 = (1.0 / self.sigma2).astype(np.float32)
+        self.K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                          np.float32)
+        self._abort_ba = False
+
+    # -- thread-protocol emulation used by the Tracker.
+    # The reference's LocalMapping thread is busy for a few frame-times per
+    # keyframe, which throttles the tracker's keyframe rate
+    # (LocalMapping::AcceptKeyFrames / SetAcceptKeyFrames around Run()).
+    # Running synchronously we emulate that latency with a frame-countdown,
+    # otherwise a keyframe is created every frame and covisibility culling
+    # churns the map.
+    BUSY_FRAMES = 2
+
+    def accepting(self):
+        return self._busy == 0
+
+    def tick(self):
+        """Called once per tracked frame."""
+        self._busy = max(0, self._busy - 1)
+
+    def interrupt_ba(self):
+        self._abort_ba = True
+
+    def queue_len(self):
+        return len(self.queue) + self._busy
+
+    def insert_keyframe(self, kid: int):
+        self.queue.append(kid)
+        self._busy = self.BUSY_FRAMES
+
+    # ------------------------------------------------------------------
+    def process_pending(self):
+        """Drain the keyframe queue; returns the processed keyframe ids."""
+        done = []
+        while self.queue:
+            kid = self.queue.pop(0)
+            self.process_keyframe(kid)
+            done.append(kid)
+        return done
+
+    def process_keyframe(self, kid: int):
+        self._register_new_points(kid)
+        self.cull_map_points(kid)
+        self.create_new_map_points(kid)
+        if not self.queue:
+            self.search_in_neighbors(kid)
+            self._abort_ba = False
+            if self.run_ba and self.map.n_keyframes() > 2:
+                self.local_bundle_adjustment(kid)
+            self.cull_keyframes(kid)
+
+    def _register_new_points(self, kid):
+        obs = self.map.kf_obs[kid]
+        for slot in np.flatnonzero(obs >= 0):
+            pid = int(obs[slot])
+            if self.map.pt_first_kf[pid] == kid:
+                self.recent_points.append((pid, kid))
+
+    # ------------------------------------------------------- culling
+    def cull_map_points(self, kid):
+        """LocalMapping::MapPointCulling (LocalMapping.cpp:176-211)."""
+        m = self.map
+        th_obs = 2 if self.sensor == "mono" else 3
+        keep = []
+        for pid, birth in self.recent_points:
+            if not m.pt_alive[pid]:
+                continue
+            found_ratio = m.pt_found[pid] / max(m.pt_visible[pid], 1)
+            age = kid - birth
+            if found_ratio < 0.25:
+                m.erase_point(pid)
+            elif age >= 2 and m.pt_nobs[pid] <= th_obs:
+                m.erase_point(pid)
+            elif age >= 3:
+                continue  # graduated
+            else:
+                keep.append((pid, birth))
+        self.recent_points = keep
+
+    # ------------------------------------------------- triangulation
+    def create_new_map_points(self, kid):
+        """LocalMapping::CreateNewMapPoints (LocalMapping.cpp:213-458)."""
+        m = self.map
+        n_neigh = 20 if self.sensor == "mono" else 10
+        neighbors, _ = m.covisible_keyframes(kid, n=n_neigh)
+        if len(neighbors) == 0:
+            return
+        R1 = m.kf_pose[kid, :3, :3]
+        t1 = m.kf_pose[kid, :3, 3]
+        c1 = m.camera_center(kid)
+        ratio_factor = 1.5 * self.geom.scale_factor
+
+        free1 = m.kf_kp_valid[kid] & (m.kf_obs[kid] < 0)
+        for kid2 in neighbors:
+            kid2 = int(kid2)
+            c2 = m.camera_center(kid2)
+            baseline = float(np.linalg.norm(c2 - c1))
+            if self.sensor != "mono":
+                if baseline < self.cam.bf / self.cam.fx:
+                    continue
+            else:
+                med_depth = self._scene_median_depth(kid2)
+                if med_depth <= 0 or baseline / med_depth < 0.01:
+                    continue
+            R2 = m.kf_pose[kid2, :3, :3]
+            t2 = m.kf_pose[kid2, :3, 3]
+            F12 = fundamental_matrix(R1, t1, R2, t2, self.K)
+            # epipole of kf1 center in image 2
+            cc = R2 @ c1 + t2
+            ex = self.cam.fx * cc[0] / max(cc[2], 1e-9) + self.cam.cx
+            ey = self.cam.fy * cc[1] / max(cc[2], 1e-9) + self.cam.cy
+
+            free2 = m.kf_kp_valid[kid2] & (m.kf_obs[kid2] < 0)
+            match = np.asarray(epipolar_match(
+                jnp.asarray(m.kf_desc[kid]), jnp.asarray(free1),
+                jnp.asarray(m.kf_kp_angle[kid]), jnp.asarray(m.kf_kp_xy[kid]),
+                jnp.asarray(m.kf_kp_ur[kid]),
+                jnp.asarray(m.kf_desc[kid2]), jnp.asarray(free2),
+                jnp.asarray(m.kf_kp_angle[kid2]), jnp.asarray(m.kf_kp_xy[kid2]),
+                jnp.asarray(F12), jnp.asarray(self.sigma2),
+                jnp.asarray(m.kf_kp_octave[kid2]),
+                float(ex), float(ey),
+                jnp.asarray(self.scale_factors ** 2)))
+            s1 = np.flatnonzero((match >= 0) & free1)
+            if len(s1) == 0:
+                continue
+            s2 = match[s1]
+            xy1 = m.kf_kp_xy[kid, s1]
+            xy2 = m.kf_kp_xy[kid2, s2]
+            x1n = np.stack([(xy1[:, 0] - self.cam.cx) / self.cam.fx,
+                            (xy1[:, 1] - self.cam.cy) / self.cam.fy,
+                            np.ones(len(s1), np.float32)], axis=1)
+            x2n = np.stack([(xy2[:, 0] - self.cam.cx) / self.cam.fx,
+                            (xy2[:, 1] - self.cam.cy) / self.cam.fy,
+                            np.ones(len(s1), np.float32)], axis=1)
+            n = len(s1)
+            pts, ok = triangulate_pairs(
+                jnp.broadcast_to(jnp.asarray(R1), (n, 3, 3)),
+                jnp.broadcast_to(jnp.asarray(t1), (n, 3)),
+                jnp.broadcast_to(jnp.asarray(R2), (n, 3, 3)),
+                jnp.broadcast_to(jnp.asarray(t2), (n, 3)),
+                jnp.asarray(x1n.astype(np.float32)),
+                jnp.asarray(x2n.astype(np.float32)),
+                jnp.asarray(m.kf_kp_ur[kid, s1]),
+                jnp.asarray(m.kf_kp_ur[kid2, s2]),
+                jnp.asarray(m.kf_kp_depth[kid, s1]),
+                jnp.asarray(m.kf_kp_depth[kid2, s2]),
+                jnp.asarray(xy1), jnp.asarray(xy2),
+                jnp.asarray(m.kf_kp_octave[kid, s1]),
+                jnp.asarray(m.kf_kp_octave[kid2, s2]),
+                jnp.asarray(self.sigma2[m.kf_kp_octave[kid, s1]]),
+                jnp.asarray(self.sigma2[m.kf_kp_octave[kid2, s2]]),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cam.bf, float(ratio_factor))
+            pts = np.asarray(pts)
+            ok = np.asarray(ok)
+            for i in np.flatnonzero(ok):
+                sl1, sl2 = int(s1[i]), int(s2[i])
+                if m.kf_obs[kid, sl1] >= 0 or m.kf_obs[kid2, sl2] >= 0:
+                    continue
+                pid = m.add_point(pts[i], m.kf_desc[kid, sl1], kid)
+                m.add_observation(kid, sl1, pid)
+                m.add_observation(kid2, sl2, pid)
+                m.compute_distinctive_descriptor(pid)
+                m.update_normal_and_depth(pid, self.scale_factors,
+                                          self.geom.n_levels)
+                self.recent_points.append((pid, kid))
+                free1[sl1] = False
+
+    def _scene_median_depth(self, kid):
+        """KeyFrame::ComputeSceneMedianDepth (KeyFrame.cpp:637)."""
+        m = self.map
+        obs = m.kf_obs[kid]
+        pids = obs[obs >= 0]
+        pids = pids[m.pt_alive[pids]]
+        if len(pids) == 0:
+            return -1.0
+        R = m.kf_pose[kid, :3, :3]
+        t = m.kf_pose[kid, :3, 3]
+        z = (m.pt_pos[pids] @ R[2]) + t[2]
+        return float(np.median(z))
+
+    # --------------------------------------------------------- fusion
+    def search_in_neighbors(self, kid):
+        """LocalMapping::SearchInNeighbors (LocalMapping.cpp:460-540).
+
+        Bidirectional fuse with th=3 via the batched projection matcher.
+        """
+        m = self.map
+        neighbors, _ = m.covisible_keyframes(kid, n=10)
+        targets = set()
+        for nk in neighbors:
+            targets.add(int(nk))
+            n2, _ = m.covisible_keyframes(int(nk), n=5)
+            for nn in n2:
+                if int(nn) != kid:
+                    targets.add(int(nn))
+        # fuse current KF's points into targets, then targets' points into kid
+        my_pids = np.unique(m.kf_obs[kid][m.kf_obs[kid] >= 0])
+        for tk in targets:
+            self._fuse_into(tk, my_pids)
+        back_pids = []
+        for tk in targets:
+            o = m.kf_obs[tk]
+            back_pids.append(o[o >= 0])
+        if back_pids:
+            self._fuse_into(kid, np.unique(np.concatenate(back_pids)))
+        # refresh point descriptors/normals of current KF
+        for pid in np.unique(m.kf_obs[kid][m.kf_obs[kid] >= 0]):
+            if m.pt_alive[pid]:
+                m.compute_distinctive_descriptor(int(pid))
+                m.update_normal_and_depth(int(pid), self.scale_factors,
+                                          self.geom.n_levels)
+
+    def _fuse_into(self, kid, pids):
+        """ORBmatcher::Fuse (ORBmatcher.cpp:812-962) with th=3."""
+        m = self.map
+        pids = pids[m.pt_alive[pids]] if len(pids) else pids
+        if len(pids) == 0:
+            return
+        cap = max(128, 1 << int(np.ceil(np.log2(len(pids)))))
+        pad = cap - len(pids)
+        idx = np.concatenate([pids, np.zeros(pad, pids.dtype)])
+        alive = np.concatenate([np.ones(len(pids), bool), np.zeros(pad, bool)])
+        R = m.kf_pose[kid, :3, :3]
+        t = m.kf_pose[kid, :3, 3]
+        Ow = m.camera_center(kid)
+        ok, u, v, invz, lvl, vcos = matcher.frustum_check(
+            jnp.asarray(m.pt_pos[idx]), jnp.asarray(m.pt_normal[idx]),
+            jnp.asarray(m.pt_max_dist[idx]), jnp.asarray(m.pt_min_dist[idx]),
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(Ow),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            0.0, float(self.geom.widths[0]), 0.0, float(self.geom.heights[0]),
+            self.geom.n_levels, float(np.log(self.geom.scale_factor)), 0.5,
+            jnp.asarray(alive))
+        ur_proj = np.asarray(u) - self.cam.bf * np.asarray(invz)
+        sel = matcher.search_by_projection_points(
+            u, v, jnp.asarray(ur_proj), lvl, vcos, ok,
+            jnp.asarray(m.pt_desc[idx]),
+            jnp.asarray(m.kf_kp_xy[kid]), jnp.asarray(m.kf_kp_octave[kid]),
+            jnp.asarray(m.kf_desc[kid]), jnp.asarray(m.kf_kp_valid[kid]),
+            jnp.asarray(m.kf_kp_ur[kid]),
+            jnp.asarray(np.ones(m.n_slots, bool)),  # fuse also checks occupied
+            3.0, self.scale_factors, self.geom.n_levels, nn_ratio=1.0)
+        sel = np.asarray(sel)
+        for slot in np.flatnonzero(sel >= 0):
+            pid = int(idx[sel[slot]])
+            if not m.pt_alive[pid]:
+                continue
+            existing = m.kf_obs[kid, slot]
+            if existing >= 0:
+                if existing == pid or not m.pt_alive[existing]:
+                    continue
+                # keep the more-observed point (ORBmatcher.cpp:941-951)
+                if m.pt_nobs[existing] > m.pt_nobs[pid]:
+                    m.replace_point(pid, int(existing))
+                else:
+                    m.replace_point(int(existing), pid)
+            else:
+                m.add_observation(kid, slot, pid)
+
+    # ------------------------------------------------------ local BA
+    def local_bundle_adjustment(self, kid):
+        """Optimizer::LocalBundleAdjustment wrapper (Optimizer.cpp:458-784)."""
+        m = self.map
+        local, _ = m.covisible_keyframes(kid, n=None, min_weight=1)
+        local = np.concatenate([[kid], local]).astype(np.int64)
+        local_set = np.zeros(m.max_keyframes, bool)
+        local_set[local] = True
+        obs = m.kf_obs[local]
+        pids = np.unique(obs[obs >= 0])
+        pids = pids[m.pt_alive[pids]]
+        if len(pids) < 10:
+            return
+        in_pts = np.zeros(m.max_points, bool)
+        in_pts[pids] = True
+        # fixed cameras: other KFs observing these points
+        sees = (in_pts[np.where(m.kf_obs >= 0, m.kf_obs, 0)] & (m.kf_obs >= 0)).any(1)
+        fixed_kfs = np.flatnonzero(sees & m.kf_alive & ~local_set)
+        cams = np.concatenate([local, fixed_kfs])
+        # KF 0 is always fixed even when local (Optimizer.cpp:527
+        # vSE3->setFixed(pKFi->mnId==0)) — anchoring the gauge at the map
+        # origin; anchoring the newest KF instead lets the whole older map
+        # slide to match the current (drifting) pose.
+        fixed = np.concatenate([local == 0,
+                                np.ones(len(fixed_kfs), bool)])
+        if len(local) == 1 or (~fixed).sum() < 1:
+            return
+        if fixed.sum() == 0:
+            fixed[np.argmin(cams)] = True  # no frontier: anchor oldest KF
+        cam_of = {int(k): i for i, k in enumerate(cams)}
+        pt_of = {int(p): i for i, p in enumerate(pids)}
+
+        e_cam, e_pt, e_slot, e_kf = [], [], [], []
+        for ci, k in enumerate(cams):
+            o = m.kf_obs[k]
+            for slot in np.flatnonzero(o >= 0):
+                pid = o[slot]
+                if in_pts[pid]:
+                    e_cam.append(ci)
+                    e_pt.append(pt_of[int(pid)])
+                    e_slot.append(slot)
+                    e_kf.append(int(k))
+        E = len(e_cam)
+        if E < 20:
+            return
+        e_cam = np.array(e_cam, np.int32)
+        e_pt = np.array(e_pt, np.int32)
+        e_slot = np.array(e_slot, np.int64)
+        e_kf = np.array(e_kf, np.int64)
+        kp_ur = m.kf_kp_ur[e_kf, e_slot]
+        obs_arr = np.stack([
+            m.kf_kp_xy[e_kf, e_slot, 0], m.kf_kp_xy[e_kf, e_slot, 1],
+            np.where(kp_ur >= 0, kp_ur, 0.0)], axis=1).astype(np.float32)
+        is_stereo = kp_ur >= 0
+        inv_s2 = self.inv_sigma2[m.kf_kp_octave[e_kf, e_slot]]
+
+        P = len(pids)
+        deg = np.bincount(e_pt, minlength=P)
+        D = int(deg.max())
+        pt_edges = np.full((P, D), -1, np.int32)
+        fill = np.zeros(P, np.int32)
+        for e in range(E):
+            p = e_pt[e]
+            pt_edges[p, fill[p]] = e
+            fill[p] += 1
+
+        Rs = m.kf_pose[cams, :3, :3].astype(np.float32)
+        ts = m.kf_pose[cams, :3, 3].astype(np.float32)
+        R2, t2, p2, outlier = local_ba(
+            jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(fixed),
+            jnp.asarray(m.pt_pos[pids]),
+            jnp.asarray(e_cam), jnp.asarray(e_pt), jnp.asarray(obs_arr),
+            jnp.asarray(is_stereo), jnp.asarray(inv_s2),
+            jnp.asarray(np.ones(E, bool)), jnp.asarray(pt_edges),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf)
+        R2 = np.asarray(R2)
+        t2 = np.asarray(t2)
+        p2 = np.asarray(p2)
+        outlier = np.asarray(outlier)
+        # write back
+        for i, k in enumerate(cams):
+            if not fixed[i]:
+                m.kf_pose[k, :3, :3] = R2[i]
+                m.kf_pose[k, :3, 3] = t2[i]
+        m.pt_pos[pids] = p2
+        for e in np.flatnonzero(outlier):
+            m.erase_observation(int(e_kf[e]), int(e_slot[e]))
+
+    # -------------------------------------------------- keyframe culling
+    def cull_keyframes(self, kid):
+        """LocalMapping::KeyFrameCulling (LocalMapping.cpp:638-702)."""
+        m = self.map
+        neighbors, _ = m.covisible_keyframes(kid, n=None, min_weight=1)
+        for k in neighbors:
+            k = int(k)
+            if k == 0:  # never cull the first keyframe
+                continue
+            obs = m.kf_obs[k]
+            slots = np.flatnonzero(obs >= 0)
+            if len(slots) == 0:
+                continue
+            pids = obs[slots]
+            alive = m.pt_alive[pids]
+            slots, pids = slots[alive], pids[alive]
+            if len(slots) == 0:
+                continue
+            # stereo: only consider points with valid close depth
+            if self.sensor != "mono":
+                d = m.kf_kp_depth[k, slots]
+                near = (d > 0) & (d < self.cam.th_depth * self.cam.bf / self.cam.fx)
+                slots, pids = slots[near], pids[near]
+            if len(slots) == 0:
+                continue
+            n_redundant = 0
+            my_lvl = m.kf_kp_octave[k, slots]
+            for s, pid, lv in zip(slots, pids, my_lvl):
+                kfs, sl2 = m.observations_of(int(pid))
+                other = kfs != k
+                if other.sum() < 3:
+                    continue
+                fine = m.kf_kp_octave[kfs[other], sl2[other]] <= lv + 1
+                if fine.sum() >= 3:
+                    n_redundant += 1
+            if n_redundant > 0.9 * len(slots):
+                m.erase_keyframe(k)

@@ -62,6 +62,14 @@ def _residuals(xi, Rcw, tcw, points, obs, fx, fy, cx, cy, bf):
 @partial(jax.jit, static_argnames=())
 def pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
                       fx, fy, cx, cy, bf):
+    # TPU matmuls default to bf16 passes; the normal equations need full f32
+    with jax.default_matmul_precision("highest"):
+        return _pose_optimization(Rcw, tcw, points, obs_uv, obs_ur,
+                                  inv_sigma2, valid, fx, fy, cx, cy, bf)
+
+
+def _pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
+                       fx, fy, cx, cy, bf):
     """Motion-only bundle adjustment.
 
     Args (all padded to fixed N):

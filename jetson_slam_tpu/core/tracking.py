@@ -30,12 +30,14 @@ class TrackingState(enum.Enum):
 
 class Tracker:
     def __init__(self, frontend, cam, map_store: MapStore, sensor="stereo",
-                 local_mapper=None, min_frames=0, max_frames=None):
+                 local_mapper=None, min_frames=0, max_frames=None,
+                 database=None):
         self.frontend = frontend
         self.cam = cam
         self.map = map_store
         self.sensor = sensor
         self.local_mapper = local_mapper
+        self.database = database  # BoW KeyFrameDatabase for relocalization
         self.state = TrackingState.NO_IMAGES_YET
         self.velocity = None          # 4x4 Tcl (current-from-last motion)
         self.last_frame: Frame | None = None
@@ -67,13 +69,22 @@ class Tracker:
         frame = Frame(self.frontend, self.cam, timestamp, rgb, depth_img=depth)
         return self._track(frame)
 
+    def track_monocular(self, img, timestamp):
+        frame = Frame(self.frontend, self.cam, timestamp, img)
+        return self._track(frame)
+
     # =============================================================== core
     def _track(self, frame: Frame):
+        if self.local_mapper is not None:
+            self.local_mapper.tick()
         if self.state == TrackingState.NO_IMAGES_YET:
             self.state = TrackingState.NOT_INITIALIZED
 
         if self.state == TrackingState.NOT_INITIALIZED:
-            self._stereo_initialization(frame)
+            if self.sensor == "mono":
+                self._monocular_initialization(frame)
+            else:
+                self._stereo_initialization(frame)
         else:
             ok = False
             if self.state == TrackingState.OK:
@@ -109,6 +120,16 @@ class Tracker:
             self.trajectory.append(
                 (frame.timestamp, frame.Tcw.copy(), frame.ref_kf,
                  self.state == TrackingState.LOST))
+        # relative pose to the reference KF, so UpdateLastFrame can re-anchor
+        # the last frame after BA moves the KF (Tracking.cpp:642-658 stores
+        # mlRelativeFramePoses; UpdateLastFrame applies Tlr * pRef->GetPose())
+        ref = getattr(frame, "ref_kf", -1)
+        if frame.pose_set and ref is not None and ref >= 0:
+            self._last_rel_pose = (
+                frame.Tcw @ np.linalg.inv(self.map.kf_pose[ref])).astype(
+                    np.float32)
+        else:
+            self._last_rel_pose = None
         self.last_frame = frame
         return self.state, frame
 
@@ -141,11 +162,80 @@ class Tracker:
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(kid)
 
+    # ==================================================== mono init
+    def _monocular_initialization(self, frame: Frame):
+        """Tracking::MonocularInitialization + CreateInitialMapMonocular
+        (Tracking.cpp:724-917): two-view H/F initialization, map scaled to
+        unit median scene depth."""
+        min_kp = max(50, 0.02 * frame.n_slots)  # reference gate is 100
+        init_ref = getattr(self, "_mono_init_ref", None)
+        if init_ref is None or frame.valid.sum() < min_kp:
+            if frame.valid.sum() >= min_kp:
+                self._mono_init_ref = frame
+            return
+        from . import matcher as M
+        from .initializer import MonoInitializer
+        ref = init_ref
+        match, _ = M.match_brute_force(
+            jnp.asarray(ref.desc), jnp.asarray(ref.valid),
+            jnp.asarray(ref.angle),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle), nn_ratio=0.9)
+        match = np.asarray(match)
+        s_ref = np.flatnonzero(match >= 0)
+        if len(s_ref) < 50:
+            self._mono_init_ref = frame
+            return
+        s_cur = match[s_ref]
+        init = MonoInitializer(self.cam.fx, self.cam.fy, self.cam.cx,
+                               self.cam.cy)
+        ok, R21, t21, X, good = init.initialize(
+            ref.kp_xy[s_ref], frame.kp_xy[s_cur],
+            np.ones(len(s_ref), bool))
+        if not ok:
+            return
+        # scale to unit median depth (CreateInitialMapMonocular semantics:
+        # invMedianDepth applied to pose translation and points)
+        z = X[good, 2]
+        med = float(np.median(z)) if len(z) else 1.0
+        if med <= 0:
+            return
+        X = X / med
+        t21 = t21 / med
+        ref.set_pose(np.eye(4, dtype=np.float32))
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = R21
+        T2[:3, 3] = t21
+        frame.set_pose(T2)
+        kid1 = self.map.add_keyframe(ref)
+        kid2 = self.map.add_keyframe(frame)
+        for i in np.flatnonzero(good):
+            pid = self.map.add_point(X[i], frame.desc[s_cur[i]], kid2)
+            self.map.add_observation(kid1, int(s_ref[i]), pid)
+            self.map.add_observation(kid2, int(s_cur[i]), pid)
+            self.map.compute_distinctive_descriptor(pid)
+            self.map.update_normal_and_depth(pid, self.scale_factors,
+                                             self.n_levels)
+            frame.map_points[s_cur[i]] = pid
+        self.ref_kf = kid2
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kid1)
+            self.local_mapper.insert_keyframe(kid2)
+
     # ================================================== motion model
     def _update_last_frame(self):
         """Tracking::UpdateLastFrame: refresh pose from ref KF + spawn temp VO
         points for close stereo depths (Tracking.cpp:963-1027)."""
         lf = self.last_frame
+        # re-anchor the last frame to its (possibly BA-corrected) ref KF:
+        # mLastFrame.SetPose(Tlr * pRef->GetPose()) (Tracking.cpp:967-974)
+        ref = getattr(lf, "ref_kf", -1)
+        rel = getattr(self, "_last_rel_pose", None)
+        if rel is not None and ref is not None and ref >= 0 and \
+                self.map.kf_alive[ref]:
+            lf.set_pose((rel @ self.map.kf_pose[ref]).astype(np.float32))
         # temp points: slots with depth in (0, th_depth] and no map point
         depth = lf.depth
         close = (depth > 0) & lf.valid
@@ -399,7 +489,12 @@ class Tracker:
             tracked = (frame.map_points >= 0) & ~frame.outlier
             n_tracked_close = int((close & tracked).sum())
             n_nontracked_close = int((close & ~tracked).sum())
-        need_close = (n_tracked_close < 100) and (n_nontracked_close > 70)
+        # reference constants 100/70 (Tracking.cpp:1221) assume ~1000-3000
+        # features/frame; our NMS-G tile budget caps slots lower, so the
+        # thresholds scale with the budget
+        scale = min(1.0, frame.n_slots / 2000.0)
+        need_close = (n_tracked_close < 100 * scale) and \
+            (n_nontracked_close > 70 * scale)
 
         th_ref = 0.75 if n_kfs >= 2 else 0.4
         if self.sensor == "mono":
@@ -453,11 +548,17 @@ class Tracker:
 
     # ================================================== relocalization
     def _relocalization(self, frame: Frame):
-        """Simplified relocalization: brute-force match against recent
-        keyframes + pose optimization (full BoW+EPnP lands with the bow/
-        module; reference Tracking.cpp:1954-2115)."""
+        """Tracking::Relocalization (Tracking.cpp:1954-2115): BoW candidate
+        keyframes (KeyFrameDatabase) -> descriptor matching -> PnP RANSAC ->
+        pose optimization.  Falls back to the most recent keyframes when no
+        vocabulary/database is configured."""
         m = self.map
-        kfs = m.keyframe_ids()[-10:]
+        if self.database is not None:
+            kfs = self.database.detect_relocalization_candidates(
+                frame.desc[frame.valid], m)
+            kfs = [int(k) for k in kfs if m.kf_alive[k]]
+        else:
+            kfs = m.keyframe_ids()[-10:]
         for kid in kfs[::-1]:
             match, _ = matcher.match_brute_force(
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
@@ -476,7 +577,28 @@ class Tracker:
             frame.map_points[cur[good]] = pids[good]
             frame.temp_flag = np.zeros(frame.n_slots, bool)
             frame.temp_world = np.zeros((frame.n_slots, 3), np.float32)
-            frame.set_pose(m.kf_pose[kid])
+            # initial pose from PnP RANSAC (reference: PnPsolver EPnP)
+            sel = cur[good]
+            if len(sel) >= 6:
+                from .pnp_solver import pnp_ransac
+                import jax
+                pw = m.pt_pos[frame.map_points[sel]]
+                uv = frame.kp_xy[sel]
+                inv_s2 = self.inv_level_sigma2[frame.octave[sel]]
+                R, t, inl, n_inl = pnp_ransac(
+                    jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(inv_s2),
+                    jnp.asarray(np.ones(len(sel), bool)),
+                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                    jax.random.PRNGKey(frame.frame_id), n_hyp=256)
+                if int(n_inl) >= 8:
+                    T = np.eye(4, dtype=np.float32)
+                    T[:3, :3] = np.asarray(R)
+                    T[:3, 3] = np.asarray(t)
+                    frame.set_pose(T)
+                else:
+                    frame.set_pose(m.kf_pose[kid])
+            else:
+                frame.set_pose(m.kf_pose[kid])
             n = self._optimize_pose(frame)
             if n >= 20:
                 self.last_reloc_frame_id = frame.frame_id

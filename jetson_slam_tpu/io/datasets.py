@@ -72,4 +72,6 @@ def load_tum_rgbd(seq_dir: str, association_file: str):
 
 
 def imread_gray(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
     return _imread_gray(path)

@@ -1,0 +1,155 @@
+"""SlamSystem: the public session facade (System.h equivalent).
+
+Mirrors the reference's System API (include/System.h:62-128):
+TrackStereo/TrackRGBD/TrackMonocular, ActivateLocalizationMode, Reset,
+Shutdown, SaveTrajectoryTUM/KITTI, GetTrackingState/GetTrackedMapPoints.
+The reference spawns LocalMapping/LoopClosing/Viewer threads
+(System.cpp:97-111); here the mapping backend runs as a synchronous stage
+after each keyframe insertion (async pipelining lands with parallel/).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SLAMConfig
+from ..core.frame import Frame
+from ..core.local_mapping import LocalMapper
+from ..core.map import MapStore
+from ..core.tracking import Tracker, TrackingState
+from ..io.trajectory import save_trajectory_kitti, save_trajectory_tum
+from ..ops.frontend import OrbFrontend
+
+SENSOR_MONOCULAR = "mono"
+SENSOR_STEREO = "stereo"
+SENSOR_RGBD = "rgbd"
+
+
+class SlamSystem:
+    def __init__(self, config: SLAMConfig, sensor: str = SENSOR_STEREO,
+                 vocabulary=None, enable_mapping: bool = True,
+                 enable_ba: bool = True):
+        self.config = config
+        self.sensor = sensor
+        cam = config.camera
+        orb = config.orb
+        mask = None
+        if orb.mask_left:
+            try:
+                from ..io.datasets import imread_gray
+                mask = imread_gray(orb.mask_left)
+            except Exception:
+                mask = None
+        self.frontend = OrbFrontend(
+            cam.height, cam.width, n_levels=orb.n_levels,
+            scale_factor=orb.scale_factor, fast_n_min=orb.fast_n_min,
+            fast_n_max=orb.fast_n_max, threshold=orb.th_fast_max,
+            tile_h=orb.tile_h, tile_w=orb.tile_w,
+            fixed_multi_scale_tile_size=orb.fixed_multi_scale_tile_size,
+            apply_nms_ms=orb.apply_nms_ms, mask=mask)
+        self.map = MapStore(max_points=config.max_map_points,
+                            max_keyframes=config.max_keyframes,
+                            n_slots=self.frontend.n_slots_padded)
+        self.local_mapper = (
+            LocalMapper(self.map, cam, self.frontend.geom, sensor=sensor,
+                        run_ba=enable_ba)
+            if enable_mapping else None)
+        self.vocabulary = vocabulary
+        self.database = None
+        self.loop_closer = None
+        if vocabulary is not None:
+            from ..bow.database import KeyFrameDatabase
+            from ..core.loop_closing import LoopCloser
+            self.database = KeyFrameDatabase(
+                vocabulary, max_keyframes=config.max_keyframes)
+            self.loop_closer = LoopCloser(self.map, self.database, cam,
+                                          self.frontend.geom, sensor=sensor)
+        self.tracker = Tracker(self.frontend, cam, self.map, sensor=sensor,
+                               local_mapper=self.local_mapper,
+                               database=self.database)
+        self.localization_only = False
+
+    # ------------------------------------------------------------- track
+    def track_stereo(self, left, right, timestamp):
+        state, frame = self.tracker.track_stereo(left, right, timestamp)
+        self._run_mapping()
+        return state, frame
+
+    def track_rgbd(self, rgb, depth, timestamp):
+        state, frame = self.tracker.track_rgbd(rgb, depth, timestamp)
+        self._run_mapping()
+        return state, frame
+
+    def track_monocular(self, img, timestamp):
+        state, frame = self.tracker.track_monocular(img, timestamp)
+        self._run_mapping()
+        return state, frame
+
+    def _run_mapping(self):
+        if self.local_mapper is not None and not self.localization_only:
+            done = self.local_mapper.process_pending()
+            if self.loop_closer is not None:
+                for kid in done:
+                    if self.map.kf_alive[kid]:
+                        self.loop_closer.process_keyframe(kid)
+
+    # --------------------------------------------------------------- api
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode (System.cpp:282).  Note the
+        reference quirk: Tracking::Track resets mbOnlyTracking every frame
+        (Tracking.cpp:375) making the mode a no-op there; here it works."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def get_tracking_state(self):
+        return self.tracker.state
+
+    def get_tracked_map_points(self):
+        f = self.tracker.last_frame
+        if f is None:
+            return np.array([], np.int64)
+        return f.map_points[f.map_points >= 0]
+
+    def reset(self):
+        """System::Reset -> Tracking::Reset (Tracking.cpp:2117)."""
+        self.map = MapStore(max_points=self.config.max_map_points,
+                            max_keyframes=self.config.max_keyframes,
+                            n_slots=self.frontend.n_slots_padded)
+        if self.local_mapper is not None:
+            self.local_mapper = LocalMapper(
+                self.map, self.config.camera, self.frontend.geom,
+                sensor=self.sensor, run_ba=self.local_mapper.run_ba)
+        self.tracker = Tracker(self.frontend, self.config.camera, self.map,
+                               sensor=self.sensor,
+                               local_mapper=self.local_mapper)
+
+    def shutdown(self):
+        self._run_mapping()
+
+    # --------------------------------------------------------- trajectory
+    def _camera_trajectory(self):
+        """Relative-pose chain x reference-KF poses (System.cpp:334-392)."""
+        out_ts, out_poses = [], []
+        for ts, Tcw, ref_kf, lost in self.tracker.trajectory:
+            if lost:
+                continue
+            T = np.asarray(Tcw, np.float64)
+            Twc = np.linalg.inv(T)
+            out_ts.append(ts)
+            out_poses.append(Twc)
+        return out_ts, out_poses
+
+    def save_trajectory_tum(self, path):
+        ts, poses = self._camera_trajectory()
+        save_trajectory_tum(path, ts, poses)
+
+    def save_trajectory_kitti(self, path):
+        _, poses = self._camera_trajectory()
+        save_trajectory_kitti(path, poses)
+
+    def save_keyframe_trajectory_tum(self, path):
+        ids = self.map.keyframe_ids()
+        poses = [np.linalg.inv(self.map.kf_pose[k].astype(np.float64))
+                 for k in ids]
+        save_trajectory_tum(path, self.map.kf_timestamp[ids], poses)

@@ -179,6 +179,36 @@ def nms_ms(kp_x, kp_y, kp_s, kp_level, kp_scale, n_levels: int, h0: int, w0: int
     return jnp.where(valid & ~ok, 0, kp_s)
 
 
+def subpixel_offsets(score, kp_x, kp_y):
+    """Per-keypoint (dx, dy) in [-0.5, 0.5] from a 3x3 parabola fit on the
+    RAW (pre-NMS) SAD score map.
+
+    The reference emits integer keypoint coordinates (orb_copy_output.cu:35);
+    sub-pixel localization is a deliberate improvement here: per-frame VO
+    rotation noise scales directly with keypoint sigma, and the quadratic fit
+    costs three gathers per slot on TPU.  Analogous in spirit to the
+    reference's stereo-disparity parabola (orb_stereo_match.cu:1092-1110).
+    """
+    H, W = score.shape
+    flat = score.reshape(-1).astype(jnp.float32)
+
+    def at(dy, dx):
+        yy = jnp.clip(kp_y + dy, 0, H - 1)
+        xx = jnp.clip(kp_x + dx, 0, W - 1)
+        return jnp.take(flat, yy * W + xx)
+
+    s0 = at(0, 0)
+    sl, sr = at(0, -1), at(0, 1)
+    su, sd = at(-1, 0), at(1, 0)
+
+    def fit(sm, sp):
+        den = sm - 2.0 * s0 + sp
+        off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / den, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    return fit(sl, sr), fit(su, sd)
+
+
 def ic_angles(img_u8, kp_x, kp_y):
     """Batched intensity-centroid angles, radians.
 
@@ -282,7 +312,16 @@ class OrbFrontend:
     def __init__(self, height, width, n_levels=8, scale_factor=1.2,
                  fast_n_min=9, fast_n_max=16, threshold=20,
                  tile_h=30, tile_w=30, fixed_multi_scale_tile_size=False,
-                 apply_nms_ms=False, mask=None):
+                 apply_nms_ms=False, mask=None, quantize_level0_coords=False,
+                 subpixel=True):
+        # quantize_level0_coords=True reproduces the reference's int cast in
+        # copy_output (orb_copy_output.cu:35: keypoints_x_op is int*), which
+        # quantizes level-L keypoints by scale^L pixels at level 0.  Off by
+        # default: float coords are strictly more accurate and cost nothing.
+        self.quantize_level0_coords = quantize_level0_coords
+        # subpixel: 3x3 score-parabola keypoint refinement (improvement over
+        # the reference's integer keypoints; see subpixel_offsets)
+        self.subpixel = subpixel and not quantize_level0_coords
         self.geom = tables.pyramid_geometry(
             height, width, n_levels, scale_factor, tile_h, tile_w,
             fixed_multi_scale_tile_size)
@@ -339,12 +378,15 @@ class OrbFrontend:
         g = self.geom
         pyr = self.compute_pyramid(img_u8)
 
-        xs_l, ys_l, s_l = [], [], []
+        xs_l, ys_l, s_l, dx_l, dy_l = [], [], [], [], []
         for i in range(g.n_levels):
             mask_i = self.masks[i] if self.masks is not None else None
             score = fast_score_map(pyr[i], self.lut, self.threshold, mask_i)
             x, y, s = nms_lg(score, g.tile_h[i], g.tile_w[i], fuse_nms_l=True)
             xs_l.append(x); ys_l.append(y); s_l.append(s)
+            if self.subpixel:
+                dx, dy = subpixel_offsets(score, x, y)
+                dx_l.append(dx); dy_l.append(dy)
 
         pad = self.n_slots_padded - self.n_slots
         kp_x = jnp.concatenate(xs_l + [jnp.zeros(pad, jnp.int32)])
@@ -371,8 +413,17 @@ class OrbFrontend:
 
         valid = kp_s > 0
         scale = self.slot_scale
-        xs0 = jnp.floor(kp_x.astype(jnp.float32) * scale)  # int cast in copy_output
-        ys0 = jnp.floor(kp_y.astype(jnp.float32) * scale)
+        fx_lvl = kp_x.astype(jnp.float32)
+        fy_lvl = kp_y.astype(jnp.float32)
+        if self.subpixel:
+            padf = jnp.zeros(pad, jnp.float32)
+            fx_lvl = fx_lvl + jnp.concatenate(dx_l + [padf])
+            fy_lvl = fy_lvl + jnp.concatenate(dy_l + [padf])
+        xs0 = fx_lvl * scale
+        ys0 = fy_lvl * scale
+        if self.quantize_level0_coords:  # reference copy_output int cast
+            xs0 = jnp.floor(xs0)
+            ys0 = jnp.floor(ys0)
         size = jnp.floor(31.0 * scale)
         return FrontendResult(
             xs=xs0, ys=ys0, response=kp_s,

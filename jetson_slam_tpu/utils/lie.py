@@ -81,12 +81,16 @@ def exp_so3(phi):
 
 
 def log_so3(R):
-    """(..., 3, 3) -> (..., 3).  Safe for angles in [0, pi)."""
+    """(..., 3, 3) -> (..., 3).  Safe for angles in [0, pi), and
+    differentiable at the identity (atan2 + squared-norm guards instead of
+    arccos, whose slope is infinite at trace == 3)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
-    # w = sin(theta) * axis ; phi = theta * axis
+    w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
+    sin2 = jnp.sum(w * w, axis=-1)
+    sin_theta = jnp.sqrt(sin2 + 1e-24)  # regularized: finite grad at w = 0
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    # phi = theta * axis = w * theta / sin(theta)
     s = _sinc(theta)[..., None]
     phi = w / jnp.maximum(s, _EPS)
     # Near pi, fall back to diagonal extraction.
@@ -187,58 +191,55 @@ def exp_sim3(xi):
     """sim(3) exp, xi = [rho(3), phi(3), sigma(1)] -> (s, R, t).
 
     Uses the closed-form W matrix (Ethan Eade's notes / Strasdat's thesis).
+    AD-safe at xi = 0 (squared-norm guards, double-where pattern).
     """
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     s = jnp.exp(sigma)
     R = exp_so3(phi)
-    theta = jnp.linalg.norm(phi, axis=-1)
-    W = _sim3_W(theta, sigma, phi)
+    W = _sim3_W(sigma, phi)
     t = (W @ rho[..., None])[..., 0]
     return s, R, t
 
 
-def _sim3_W(theta, sigma, phi):
-    """W matrix of Sim(3) exponential."""
+def _sim3_W(sigma, phi):
+    """W matrix of the Sim(3) exponential; differentiable at (0, 0)."""
     dtype = phi.dtype
-    eps = 1e-5
     X = hat(phi)
     X2 = X @ X
     I = jnp.broadcast_to(jnp.eye(3, dtype=dtype), X.shape)
     s = jnp.exp(sigma)
     sig = sigma
-    th = theta
-
-    small_sig = jnp.abs(sig) < eps
-    small_th = th < eps
-    safe_sig = jnp.where(small_sig, 1.0, sig)
-    safe_th = jnp.where(small_th, 1.0, th)
-
-    # C = (s - 1) / sigma
-    C = jnp.where(small_sig, 1.0 + sig / 2.0, (s - 1.0) / safe_sig)
-
-    th2 = th * th
     sig2 = sig * sig
 
-    # A-, B-coefficients (case split per Strasdat)
-    # case both small:
-    A_ss = 0.5 * jnp.ones_like(th)
-    B_ss = 1.0 / 6.0 * jnp.ones_like(th)
-    # sigma small, theta not:
-    A_s = jnp.where(small_th, A_ss, (1.0 - jnp.cos(safe_th)) / jnp.where(small_th, 1.0, th2))
-    B_s = jnp.where(small_th, B_ss, (safe_th - jnp.sin(safe_th)) / jnp.where(small_th, 1.0, th2 * safe_th))
-    # sigma not small:
-    a = s * jnp.sin(safe_th)
-    b = s * jnp.cos(safe_th)
-    denom = jnp.where(small_th, 1.0, th2 + sig2)
+    t2 = jnp.sum(phi * phi, axis=-1)
+    small_th = t2 < 1e-10
+    safe_t2 = jnp.where(small_th, 1.0, t2)
+    th = jnp.sqrt(safe_t2)
+
+    small_sig = jnp.abs(sig) < 1e-5
+    safe_sig = jnp.where(small_sig, 1.0, sig)
+    safe_sig2 = jnp.where(small_sig, 1.0, sig2)
+
+    # C = (e^sigma - 1) / sigma
+    C = jnp.where(small_sig, 1.0 + sig / 2.0 + sig2 / 6.0, (s - 1.0) / safe_sig)
+
+    # sigma ~ 0 branch (pure SO3 left-Jacobian coefficients)
+    A_s = jnp.where(small_th, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / safe_t2)
+    B_s = jnp.where(small_th, 1.0 / 6.0 - t2 / 120.0,
+                    (th - jnp.sin(th)) / (safe_t2 * th))
+    # general sigma branch
+    a = s * jnp.sin(th)
+    b = s * jnp.cos(th)
+    denom = jnp.where(small_th, 1.0, t2 + sig2)
     A_g = jnp.where(
         small_th,
-        ((sig - 1.0) * s + 1.0) / jnp.where(small_sig, 1.0, sig2),
-        (a * sig + (1.0 - b) * th) / (safe_th * denom),
+        ((sig - 1.0) * s + 1.0) / safe_sig2,
+        (a * sig + (1.0 - b) * th) / (th * denom),
     )
     B_g = jnp.where(
         small_th,
-        (s * (0.5 * sig2 - sig + 1.0) - 1.0) / jnp.where(small_sig, 1.0, sig2 * safe_sig),
-        (C - ((b - 1.0) * sig + a * th) / denom) / jnp.where(small_th, 1.0, th2),
+        (s * (0.5 * sig2 - sig + 1.0) - 1.0) / (safe_sig2 * safe_sig),
+        (C - ((b - 1.0) * sig + a * th) / denom) / safe_t2,
     )
     A = jnp.where(small_sig, A_s, A_g)
     B = jnp.where(small_sig, B_s, B_g)
@@ -248,7 +249,6 @@ def _sim3_W(theta, sigma, phi):
 def log_sim3(s, R, t):
     sigma = jnp.log(s)
     phi = log_so3(R)
-    theta = jnp.linalg.norm(phi, axis=-1)
-    W = _sim3_W(theta, sigma, phi)
+    W = _sim3_W(sigma, phi)
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

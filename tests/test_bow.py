@@ -1,0 +1,78 @@
+"""Tests for the vectorized BoW vocabulary and keyframe database."""
+import numpy as np
+import pytest
+
+from jetson_slam_tpu.bow.database import KeyFrameDatabase
+from jetson_slam_tpu.bow.vocabulary import Vocabulary
+
+
+@pytest.fixture(scope="module")
+def vocab(rng=np.random.default_rng(0)):
+    descs = rng.integers(0, 256, (2000, 32)).astype(np.uint8)
+    return Vocabulary.train(descs, k=5, L=3, seed=0)
+
+
+def test_vocab_structure(vocab):
+    assert vocab.n_words > 50
+    assert vocab.is_leaf.sum() == vocab.n_words
+
+
+def test_transform_deterministic(vocab, rng):
+    d = rng.integers(0, 256, (64, 32)).astype(np.uint8)
+    w1, _, n1 = vocab.transform(d)
+    w2, _, n2 = vocab.transform(d)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(n1, n2)
+    assert (w1 >= 0).all() and (w1 < vocab.n_words).all()
+
+
+def test_similar_descriptors_same_word(vocab, rng):
+    """A descriptor and a 1-bit-flipped copy usually land on the same word."""
+    d = rng.integers(0, 256, (100, 32)).astype(np.uint8)
+    d2 = d.copy()
+    d2[:, 0] ^= 1  # flip one bit
+    w1, _, _ = vocab.transform(d)
+    w2, _, _ = vocab.transform(d2)
+    assert (w1 == w2).mean() > 0.8
+
+
+def test_bow_vector_self_similarity(vocab, rng):
+    a = rng.integers(0, 256, (120, 32)).astype(np.uint8)
+    b = rng.integers(0, 256, (120, 32)).astype(np.uint8)
+    va = vocab.bow_vector(a)
+    vb = vocab.bow_vector(b)
+    # near-duplicate image: a with a few replaced descriptors
+    a2 = a.copy()
+    a2[:10] = b[:10]
+    va2 = vocab.bow_vector(a2)
+    s_same = Vocabulary.l1_score(va, va2)
+    s_diff = Vocabulary.l1_score(va, vb)
+    assert s_same > s_diff + 0.1
+
+
+def test_save_load_roundtrip(vocab, tmp_path, rng):
+    p = str(tmp_path / "voc.txt")
+    vocab.save_text(p)
+    v2 = Vocabulary.load_text(p)
+    assert v2.n_words == vocab.n_words
+    d = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    w1, _, _ = vocab.transform(d)
+    w2, _, _ = v2.transform(d)
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_database_retrieval(vocab, rng):
+    from jetson_slam_tpu.core.map import MapStore
+    m = MapStore(max_points=256, max_keyframes=32, n_slots=128)
+    db = KeyFrameDatabase(vocab, max_keyframes=32)
+    frames = []
+    for k in range(8):
+        d = rng.integers(0, 256, (100, 32)).astype(np.uint8)
+        frames.append(d)
+        db.add(k, d)
+        m.kf_alive[k] = True
+    # query with a slightly perturbed copy of frame 3
+    q = frames[3].copy()
+    q[:5] = rng.integers(0, 256, (5, 32)).astype(np.uint8)
+    cands = db.detect_relocalization_candidates(q, m)
+    assert 3 in cands

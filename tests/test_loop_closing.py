@@ -1,0 +1,42 @@
+"""Loop-closing integration test on a circular synthetic trajectory."""
+import numpy as np
+import pytest
+
+from jetson_slam_tpu.bow.vocabulary import Vocabulary
+from jetson_slam_tpu.core.tracking import TrackingState
+from jetson_slam_tpu.io.evaluation import ate_rmse
+from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+from jetson_slam_tpu.models.slam import SlamSystem
+from tests.test_slam_e2e import make_system
+
+
+@pytest.mark.slow
+def test_loop_detected_on_circular_trajectory():
+    seq = make_stereo_sequence(seed=3, n_frames=48, h=240, w=320,
+                               trajectory="circle", n_points=1200)
+    # train a small vocabulary on descriptors from a few frames
+    probe = make_system(seq)
+    descs = []
+    for i in (0, len(seq.lefts) // 3, 2 * len(seq.lefts) // 3):
+        r = probe.frontend.extract(seq.lefts[i])
+        v = np.asarray(r.valid)
+        descs.append(np.asarray(r.desc)[v])
+    vocab = Vocabulary.train(np.concatenate(descs), k=6, L=3, seed=0)
+
+    slam = make_system(seq, vocabulary=vocab)
+    states = []
+    for i in range(len(seq.lefts)):
+        state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                     seq.timestamps[i])
+        states.append(state)
+    ok_frames = sum(s == TrackingState.OK for s in states)
+    assert ok_frames > 0.75 * len(states), states
+    # the loop closer must have fired at least once on a full circle
+    assert slam.loop_closer is not None
+    assert slam.loop_closer.n_loops_closed >= 1
+    est_ts = [t for t, _, _, l in slam.tracker.trajectory if not l]
+    est_p = [np.linalg.inv(T.astype(np.float64))
+             for t, T, _, l in slam.tracker.trajectory if not l]
+    ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
+                   seq.timestamps, seq.poses_twc)
+    assert ate < 0.30, f"ATE after loop closing {ate:.3f}"

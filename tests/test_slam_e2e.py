@@ -1,0 +1,89 @@
+"""End-to-end SLAM integration tests on synthetic stereo sequences.
+
+Strategy per SURVEY.md §4: the reference validates on EuRoC with golden
+trajectories; without dataset images in this environment we gate on
+synthetic scenes with exact ground truth.
+"""
+import numpy as np
+import pytest
+
+from jetson_slam_tpu.config import SLAMConfig
+from jetson_slam_tpu.core.tracking import TrackingState
+from jetson_slam_tpu.io.evaluation import ate_rmse
+from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+from jetson_slam_tpu.models.slam import SlamSystem
+
+
+def make_system(seq, **kw):
+    cfg = SLAMConfig()
+    cfg.camera.fx = seq.fx
+    cfg.camera.fy = seq.fy
+    cfg.camera.cx = seq.cx
+    cfg.camera.cy = seq.cy
+    cfg.camera.width = seq.lefts[0].shape[1]
+    cfg.camera.height = seq.lefts[0].shape[0]
+    cfg.camera.bf = seq.bf
+    cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
+    cfg.camera.th_depth = 40.0
+    cfg.orb.n_levels = 3
+    cfg.orb.tile_h = 16
+    cfg.orb.tile_w = 16
+    cfg.orb.th_fast_max = 15
+    cfg.max_map_points = 16384
+    cfg.max_keyframes = 64
+    return SlamSystem(cfg, sensor="stereo", **kw)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return make_stereo_sequence(seed=7, n_frames=25, h=240, w=320,
+                                trajectory="arc", n_points=900)
+
+
+def run_sequence(slam, seq, n=None):
+    states = []
+    for i in range(n or len(seq.lefts)):
+        state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                     seq.timestamps[i])
+        states.append(state)
+    return states
+
+
+def test_vo_tracks_and_matches_ground_truth(seq):
+    slam = make_system(seq)
+    states = run_sequence(slam, seq)
+    ok = sum(s == TrackingState.OK for s in states)
+    assert ok >= len(states) - 2, f"tracking lost: {states}"
+    est_ts = [t for t, _, _, lost in slam.tracker.trajectory if not lost]
+    est_poses = [np.linalg.inv(T.astype(np.float64))
+                 for t, T, _, lost in slam.tracker.trajectory if not lost]
+    assert len(est_poses) >= 20
+    ate = ate_rmse(np.asarray(est_ts), np.asarray(est_poses),
+                   seq.timestamps, seq.poses_twc)
+    # trajectory length ~3.5 m; gate at 5% of it
+    assert ate < 0.18, f"ATE {ate:.3f} m too large"
+
+
+def test_map_grows_and_culls(seq):
+    slam = make_system(seq)
+    run_sequence(slam, seq, n=15)
+    assert slam.map.n_keyframes() >= 2
+    assert slam.map.n_points() > 100
+    # observations consistent: every obs points at an alive point
+    m = slam.map
+    for k in m.keyframe_ids():
+        obs = m.kf_obs[k]
+        pids = obs[obs >= 0]
+        assert m.pt_alive[pids].all()
+
+
+def test_trajectory_save_roundtrip(tmp_path, seq):
+    slam = make_system(seq)
+    run_sequence(slam, seq, n=8)
+    p = str(tmp_path / "traj.txt")
+    slam.save_trajectory_tum(p)
+    from jetson_slam_tpu.io.trajectory import load_trajectory_tum
+    ts, poses = load_trajectory_tum(p)
+    assert len(ts) >= 6
+    kf_p = str(tmp_path / "kf.txt")
+    slam.save_keyframe_trajectory_tum(kf_p)
