@@ -71,9 +71,7 @@ def main(argv=None):
         run(slam, entries, loader, ns.out)
         # report ATE against ground truth
         from jetson_slam_tpu.io.evaluation import ate_rmse
-        est_ts = [t for t, _, _, l in slam.tracker.trajectory if not l]
-        est_p = [np.linalg.inv(T.astype(np.float64))
-                 for t, T, _, l in slam.tracker.trajectory if not l]
+        est_ts, est_p = slam.camera_trajectory()
         if len(est_p) >= 3:
             print(f"ATE RMSE vs ground truth: "
                   f"{ate_rmse(np.asarray(est_ts), np.asarray(est_p), seq.timestamps, seq.poses_twc):.4f} m")

@@ -103,7 +103,12 @@ class Frame:
 
     # ------------------------------------------------------------------
     def set_pose(self, Tcw):
-        self.Tcw = np.asarray(Tcw, np.float32)
+        from ..utils.lie import project_so3_np
+        T = np.asarray(Tcw, np.float32).copy()
+        # keep R on SO(3): float32 exp/compose chains accumulate skew that
+        # distorts reprojection and downstream angle metrics
+        T[:3, :3] = project_so3_np(T[:3, :3])
+        self.Tcw = T
         self.pose_set = True
 
     @property

@@ -53,7 +53,7 @@ class LocalMapper:
     # Running synchronously we emulate that latency with a frame-countdown,
     # otherwise a keyframe is created every frame and covisibility culling
     # churns the map.
-    BUSY_FRAMES = 2
+    BUSY_FRAMES = 1
 
     def accepting(self):
         return self._busy == 0
@@ -285,7 +285,8 @@ class LocalMapper:
             jnp.asarray(m.kf_desc[kid]), jnp.asarray(m.kf_kp_valid[kid]),
             jnp.asarray(m.kf_kp_ur[kid]),
             jnp.asarray(np.ones(m.n_slots, bool)),  # fuse also checks occupied
-            3.0, self.scale_factors, self.geom.n_levels, nn_ratio=1.0)
+            3.0, self.scale_factors, self.geom.n_levels, nn_ratio=1.0,
+            fuse=True)
         sel = np.asarray(sel)
         for slot in np.flatnonzero(sel >= 0):
             pid = int(idx[sel[slot]])
@@ -383,9 +384,10 @@ class LocalMapper:
         p2 = np.asarray(p2)
         outlier = np.asarray(outlier)
         # write back
+        from ..utils.lie import project_so3_np
         for i, k in enumerate(cams):
             if not fixed[i]:
-                m.kf_pose[k, :3, :3] = R2[i]
+                m.kf_pose[k, :3, :3] = project_so3_np(R2[i])
                 m.kf_pose[k, :3, 3] = t2[i]
         m.pt_pos[pids] = p2
         for e in np.flatnonzero(outlier):

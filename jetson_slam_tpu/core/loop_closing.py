@@ -196,9 +196,10 @@ class LoopCloser:
                 moved.add(int(pid))
                 pc = R_kw @ m.pt_pos[pid] + t_kw
                 m.pt_pos[pid] = R_new.T @ (pc - t_new)
+        from ..utils.lie import project_so3_np
         for k in group:
             R_new, t_new = corrected[int(k)]
-            m.kf_pose[k, :3, :3] = R_new
+            m.kf_pose[k, :3, :3] = project_so3_np(R_new)
             m.kf_pose[k, :3, 3] = t_new
 
         # fuse duplicated points between loop region and current region
@@ -297,7 +298,8 @@ class LoopCloser:
             # Sim3 inverse: p_w = (1/s) R^T (p_c - t); s == 1 for stereo
             m.pt_pos[pid] = (R2[i].T @ (pc - t2[i])) / s2[i]
         for k, i in pos.items():
-            m.kf_pose[k, :3, :3] = R2[i]
+            from ..utils.lie import project_so3_np
+            m.kf_pose[k, :3, :3] = project_so3_np(R2[i])
             m.kf_pose[k, :3, 3] = t2[i]
 
     # ------------------------------------------------------------------
@@ -355,6 +357,7 @@ class LoopCloser:
         R2 = np.asarray(R2); t2 = np.asarray(t2); p2 = np.asarray(p2)
         for i, k in enumerate(kids):
             if not fixed[i]:
-                m.kf_pose[k, :3, :3] = R2[i]
+                from ..utils.lie import project_so3_np
+                m.kf_pose[k, :3, :3] = project_so3_np(R2[i])
                 m.kf_pose[k, :3, 3] = t2[i]
         m.pt_pos[pids] = p2

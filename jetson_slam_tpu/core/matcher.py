@@ -143,17 +143,24 @@ def frustum_check(pw, pn, max_dist_raw, min_dist_raw, Rcw, tcw, Ow,
     return ok, u, v, invz, level, view_cos
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
+@partial(jax.jit, static_argnames=("n_levels", "fuse"))
 def search_by_projection_points(
     u, v, ur_proj, pred_level, view_cos, pt_ok, pt_desc,
     cur_xy, cur_octave, cur_desc, cur_valid, cur_ur, cur_free,
-    th, scale_factors, n_levels: int, nn_ratio=0.8,
+    th, scale_factors, n_levels: int, nn_ratio=0.8, fuse: bool = False,
 ):
     """Local-map projection search (spec: ORBmatcher.cpp:32-144).
 
     Inputs u/v/pred_level/view_cos come from frustum_check.  cur_free masks
     current slots that do not already hold a map point observation.
     Returns per-current-slot index into the point list (-1 = none).
+
+    fuse=True switches to ORBmatcher::Fuse gates (ORBmatcher.cpp:812-962):
+    per-candidate reprojection chi2 <= 5.99 (mono) / 7.8 (stereo, with the
+    ur residual) x sigma2 of the candidate's octave, and descriptor distance
+    <= TH_LOW instead of TH_HIGH.  Without the chi2 gate, fuse merges nearby
+    distinct corners and the map accumulates multi-pixel-residual edges that
+    local BA then erases wholesale.
     """
     sf = jnp.asarray(scale_factors, jnp.float32)
     r = jnp.where(view_cos > 0.998, 2.5, 4.0) * th
@@ -166,7 +173,16 @@ def search_by_projection_points(
         (cur_octave[None, :] <= pred_level[:, None])
     cand = pt_ok[:, None] & cur_valid[None, :] & cur_free[None, :] & \
         in_window & oct_ok
+    if fuse:
+        inv_s2 = 1.0 / (jnp.take(sf, cur_octave) ** 2)
+        e2 = du * du + dv * dv
+        is_st = cur_ur[None, :] >= 0
+        dur = ur_proj[:, None] - cur_ur[None, :]
+        chi2 = jnp.where(is_st, (e2 + dur * dur), e2) * inv_s2[None, :]
+        gate = jnp.where(is_st, 7.8, 5.99)
+        cand = cand & (chi2 <= gate)
 
+    desc_th = TH_LOW if fuse else TH_HIGH
     dist = jnp.where(cand, hamming_matrix(pt_desc, cur_desc), BIG)
     # best and second best with level bookkeeping
     best_cur = jnp.argmin(dist, axis=1)
@@ -179,7 +195,7 @@ def search_by_projection_points(
 
     ratio_reject = (best_level == second_level) & \
         (best_dist.astype(jnp.float32) > nn_ratio * second_dist.astype(jnp.float32))
-    matched = (best_dist <= TH_HIGH) & ~ratio_reject
+    matched = (best_dist <= desc_th) & ~ratio_reject
 
     S_cur = cur_xy.shape[0]
     tgt = jnp.where(matched, best_cur, S_cur)

@@ -116,10 +116,6 @@ class Tracker:
                 if self._need_new_keyframe(frame):
                     self._create_new_keyframe(frame)
 
-        if frame.pose_set:
-            self.trajectory.append(
-                (frame.timestamp, frame.Tcw.copy(), frame.ref_kf,
-                 self.state == TrackingState.LOST))
         # relative pose to the reference KF, so UpdateLastFrame can re-anchor
         # the last frame after BA moves the KF (Tracking.cpp:642-658 stores
         # mlRelativeFramePoses; UpdateLastFrame applies Tlr * pRef->GetPose())
@@ -130,6 +126,14 @@ class Tracker:
                     np.float32)
         else:
             self._last_rel_pose = None
+        if frame.pose_set:
+            # store T_frame<-refKF like mlRelativeFramePoses, so loop-closure
+            # / GBA corrections of keyframe poses propagate into the saved
+            # trajectory (System.cpp:360-389 reconstructs Tcw = Tcr * Trw at
+            # save time); keep the absolute pose as fallback for dead refs
+            self.trajectory.append(
+                (frame.timestamp, frame.Tcw.copy(), frame.ref_kf,
+                 self.state == TrackingState.LOST, self._last_rel_pose))
         self.last_frame = frame
         return self.state, frame
 

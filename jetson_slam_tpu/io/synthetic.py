@@ -14,11 +14,19 @@ import dataclasses
 import numpy as np
 
 
+TEX_G = 4  # texels per billboard side (coarse: fine grids alias — several
+           # FAST corners a few px apart with near-identical descriptors let
+           # pose optimization lock onto a coherently shifted association set)
+
+
 @dataclasses.dataclass
 class SyntheticScene:
     points: np.ndarray       # (P, 3) world coordinates
     intensities: np.ndarray  # (P,) uint8
-    sizes: np.ndarray        # (P,) world size of each square
+    sizes: np.ndarray        # (P,) world half-size of each square
+    textures: np.ndarray = None  # (P, TEX_G, TEX_G) float32 in [0, 1]
+    axes1: np.ndarray = None     # (P, 3) in-plane axis 1 (world, unit)
+    axes2: np.ndarray = None     # (P, 3) in-plane axis 2 (world, unit)
 
 
 def make_scene(rng, n_points=600, extent=10.0, depth_range=(3.0, 12.0),
@@ -56,50 +64,139 @@ def make_scene(rng, n_points=600, extent=10.0, depth_range=(3.0, 12.0),
             rng.uniform(-extent * 0.6, extent * 0.6, n_points),
             rng.uniform(depth_range[0], depth_range[1], n_points),
         ], axis=1)
-    inten = rng.integers(60, 255, n_points).astype(np.uint8)
-    # small squares: the renderer draws camera-facing billboards, whose
-    # implied 3D corner points wobble by ~size*d_yaw under rotation — keep
-    # that violation sub-pixel
-    sizes = rng.uniform(0.05, 0.18, n_points)
-    return SyntheticScene(pts, inten, sizes)
+    inten = rng.integers(140, 255, n_points).astype(np.uint8)
+    sizes = rng.uniform(0.08, 0.24, n_points)
+    # unique random texture per billboard: uniform squares all share the
+    # same (radially trivial) rBRIEF descriptor, which collapses descriptor
+    # matching into nearest-in-window dead reckoning and makes VO drift
+    # compound on rotation-heavy sequences; textures restore the appearance
+    # discrimination real images have
+    textures = rng.uniform(0.15, 1.0, (n_points, TEX_G, TEX_G)).astype(np.float32)
+    # FIXED world-space orientation per square.  Camera-facing billboards
+    # are not rigid scenery: their texture features physically orbit the
+    # square center as the camera rotates (~size * d_yaw world motion per
+    # frame), which injects a coherent per-generation map bias that
+    # compounds until tracking diverges.  Each square instead faces the
+    # origin (where the cameras live) with a small random tilt, and the
+    # renderer ray-casts the actual plane, so features are genuinely static
+    # and foreshortening is real.
+    to_origin = -pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+    tilt = rng.uniform(-0.35, 0.35, (n_points, 3))
+    normals = to_origin + tilt
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-9)
+    up = np.tile(np.array([0.0, 1.0, 0.0]), (n_points, 1))
+    up[np.abs(normals[:, 1]) > 0.9] = [1.0, 0.0, 0.0]
+    a1 = np.cross(up, normals)
+    a1 /= np.maximum(np.linalg.norm(a1, axis=1, keepdims=True), 1e-9)
+    a2 = np.cross(normals, a1)
+    return SyntheticScene(pts, inten, sizes, textures,
+                          a1.astype(np.float64), a2.astype(np.float64))
+
+
+def _raster_square(scene, i, T_cw, fx, fy, cx, cy, h, w, want_depth=False):
+    """Ray-cast one fixed-orientation textured square.
+
+    Returns (ys, xs, coverage, value_or_depth) or None if off-screen.
+    Squares are genuinely static world geometry: pixel rays intersect the
+    square's plane, texture coords come from the in-plane offsets, and
+    anti-aliasing uses the edge distance converted to pixels.
+    """
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    c = scene.points[i]
+    a1 = scene.axes1[i]
+    a2 = scene.axes2[i]
+    hs = scene.sizes[i]
+    # cull squares behind or nearly edge-on
+    cc = R @ c + t
+    if cc[2] < 0.5:
+        return None
+    n_w = np.cross(a1, a2)
+    # camera center in world
+    o = -R.T @ t
+    view = c - o
+    if abs(np.dot(view, n_w)) / max(np.linalg.norm(view), 1e-9) < 0.15:
+        return None
+    # bounding box from projected corners
+    corners = c[None, :] + np.array(
+        [[-hs, -hs], [-hs, hs], [hs, -hs], [hs, hs]]) @ np.stack([a1, a2])
+    pc = corners @ R.T + t
+    if np.any(pc[:, 2] < 0.2):
+        return None
+    uc = fx * pc[:, 0] / pc[:, 2] + cx
+    vc = fy * pc[:, 1] / pc[:, 2] + cy
+    x0 = int(np.floor(uc.min())) - 1
+    x1 = int(np.ceil(uc.max())) + 1
+    y0 = int(np.floor(vc.min())) - 1
+    y1 = int(np.ceil(vc.max())) + 1
+    if x1 < 0 or y1 < 0 or x0 >= w or y0 >= h or (x1 - x0) > w * 2:
+        return None
+    xs = np.arange(max(x0, 0), min(x1 + 1, w))
+    ys = np.arange(max(y0, 0), min(y1 + 1, h))
+    if len(xs) == 0 or len(ys) == 0:
+        return None
+    # rays through pixel centers, world frame
+    du = (xs + 0.0 - cx) / fx
+    dv = (ys + 0.0 - cy) / fy
+    d_cam = np.stack([np.broadcast_to(du[None, :], (len(ys), len(xs))),
+                      np.broadcast_to(dv[:, None], (len(ys), len(xs))),
+                      np.ones((len(ys), len(xs)))], axis=-1)
+    d_w = d_cam @ R  # == R.T @ d per pixel
+    denom = d_w @ n_w
+    denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+    s_t = ((c - o) @ n_w) / denom
+    p = o[None, None, :] + s_t[..., None] * d_w
+    rel = p - c
+    alpha = rel @ a1
+    beta = rel @ a2
+    # camera-frame z of the intersection: cam center maps to 0 and the ray
+    # direction's camera z-component is 1, so z_cam == s_t
+    z_cam = s_t
+    # edge anti-aliasing: world-per-pixel at this depth
+    wpp = np.maximum(z_cam, 0.1) / fx
+    e1 = (hs - np.abs(alpha)) / wpp
+    e2 = (hs - np.abs(beta)) / wpp
+    cov = np.clip(e1 + 0.5, 0.0, 1.0) * np.clip(e2 + 0.5, 0.0, 1.0)
+    cov = np.where((s_t > 0.2), cov, 0.0)
+    if not np.any(cov > 0):
+        return None
+    if want_depth:
+        return ys, xs, cov, z_cam
+    tex = scene.textures[i]
+    G = tex.shape[0]
+    txf = np.clip((alpha + hs) / (2 * hs) * G - 0.5, 0.0, G - 1.0 - 1e-6)
+    tyf = np.clip((beta + hs) / (2 * hs) * G - 0.5, 0.0, G - 1.0 - 1e-6)
+    tx0 = txf.astype(np.int64)
+    ty0 = tyf.astype(np.int64)
+    ax = txf - tx0
+    ay = tyf - ty0
+    tx1 = np.minimum(tx0 + 1, G - 1)
+    ty1 = np.minimum(ty0 + 1, G - 1)
+    val = ((tex[ty0, tx0] * (1 - ax) + tex[ty0, tx1] * ax) * (1 - ay) +
+           (tex[ty1, tx0] * (1 - ax) + tex[ty1, tx1] * ax) * ay)
+    val = val * float(scene.intensities[i])
+    return ys, xs, cov, val
 
 
 def render(scene: SyntheticScene, T_cw: np.ndarray, fx, fy, cx, cy, h, w,
            background=25):
     """Render the scene from camera pose T_cw (world->camera).
 
-    Squares are drawn with analytic pixel-coverage anti-aliasing (separable
-    overlap of the square with each pixel) in painter's order, so corner
-    positions are sub-pixel accurate — integer-snapped edges would inject
-    correlated keypoint quantization noise into VO tests.
+    Fixed-orientation textured squares are ray-cast (static world geometry,
+    real foreshortening) with edge anti-aliasing, composited in painter's
+    order far-to-near.
     """
     img = np.full((h, w), float(background), dtype=np.float32)
     pc = (T_cw[:3, :3] @ scene.points.T).T + T_cw[:3, 3]
-    z = pc[:, 2]
-    vis = z > 0.5
-    order = np.argsort(-z)  # far to near
+    order = np.argsort(-pc[:, 2])  # far to near
     for i in order:
-        if not vis[i]:
+        out = _raster_square(scene, i, T_cw, fx, fy, cx, cy, h, w)
+        if out is None:
             continue
-        u = fx * pc[i, 0] / z[i] + cx
-        v = fy * pc[i, 1] / z[i] + cy
-        s = max(0.75, fx * scene.sizes[i] / z[i])
-        u0f, u1f = u - s, u + s
-        v0f, v1f = v - s, v + s
-        x0, x1 = int(np.floor(u0f)), int(np.ceil(u1f))
-        y0, y1 = int(np.floor(v0f)), int(np.ceil(v1f))
-        if x1 < 0 or y1 < 0 or x0 >= w or y0 >= h:
-            continue
-        xs = np.arange(max(x0, 0), min(x1, w))
-        ys = np.arange(max(y0, 0), min(y1, h))
-        if len(xs) == 0 or len(ys) == 0:
-            continue
-        cov_x = np.clip(np.minimum(u1f, xs + 1.0) - np.maximum(u0f, xs), 0, 1)
-        cov_y = np.clip(np.minimum(v1f, ys + 1.0) - np.maximum(v0f, ys), 0, 1)
-        cov = cov_y[:, None] * cov_x[None, :]
+        ys, xs, cov, val = out
         region = img[ys[0]:ys[-1] + 1, xs[0]:xs[-1] + 1]
         img[ys[0]:ys[-1] + 1, xs[0]:xs[-1] + 1] = (
-            region * (1.0 - cov) + float(scene.intensities[i]) * cov)
+            region * (1.0 - cov) + val * cov)
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
@@ -144,7 +241,10 @@ def make_stereo_sequence(seed=0, n_frames=30, h=240, w=320, fx=300.0,
             yaw = 2 * np.pi * a
             cy_, sy_ = np.cos(yaw), np.sin(yaw)
             T[:3, :3] = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
-            r = 1.0
+            # small loop radius: at r=1 the camera passes within ~1.4 m of
+            # the near shell and per-frame optical flow exceeds the
+            # projection-search windows (the translation anchors drop out)
+            r = 0.6
             T[:3, 3] = [r * np.sin(yaw), 0.0, r * (1.0 - np.cos(yaw))]
         elif trajectory == "orbit":
             # turntable: camera on a circle of radius R looking inward at the
@@ -182,17 +282,14 @@ def make_stereo_sequence(seed=0, n_frames=30, h=240, w=320, fx=300.0,
 def _render_depth(scene, T_cw, fx, fy, cx, cy, h, w):
     depth = np.zeros((h, w), dtype=np.float32)
     pc = (T_cw[:3, :3] @ scene.points.T).T + T_cw[:3, 3]
-    z = pc[:, 2]
-    order = np.argsort(-z)
+    order = np.argsort(-pc[:, 2])
     for i in order:
-        if z[i] <= 0.5:
+        out = _raster_square(scene, i, T_cw, fx, fy, cx, cy, h, w,
+                             want_depth=True)
+        if out is None:
             continue
-        u = fx * pc[i, 0] / z[i] + cx
-        v = fy * pc[i, 1] / z[i] + cy
-        s = max(1, int(round(fx * scene.sizes[i] / z[i])))
-        u0, v0 = int(round(u - s)), int(round(v - s))
-        u1, v1 = u0 + 2 * s, v0 + 2 * s
-        if u1 < 0 or v1 < 0 or u0 >= w or v0 >= h:
-            continue
-        depth[max(v0, 0):min(v1, h), max(u0, 0):min(u1, w)] = z[i]
+        ys, xs, cov, z_cam = out
+        region = depth[ys[0]:ys[-1] + 1, xs[0]:xs[-1] + 1]
+        depth[ys[0]:ys[-1] + 1, xs[0]:xs[-1] + 1] = np.where(
+            cov > 0.5, z_cam.astype(np.float32), region)
     return depth

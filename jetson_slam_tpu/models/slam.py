@@ -129,16 +129,29 @@ class SlamSystem:
 
     # --------------------------------------------------------- trajectory
     def _camera_trajectory(self):
-        """Relative-pose chain x reference-KF poses (System.cpp:334-392)."""
+        """Relative-pose chain x reference-KF poses (System.cpp:334-392).
+
+        Each frame pose is reconstructed as Tcr * Trw with the CURRENT
+        (loop-corrected / BA-refined) reference keyframe pose, so global
+        corrections propagate into the exported trajectory like the
+        reference's mlRelativeFramePoses chain."""
         out_ts, out_poses = [], []
-        for ts, Tcw, ref_kf, lost in self.tracker.trajectory:
+        for entry in self.tracker.trajectory:
+            ts, Tcw, ref_kf, lost, rel = entry
             if lost:
                 continue
             T = np.asarray(Tcw, np.float64)
-            Twc = np.linalg.inv(T)
+            if rel is not None and ref_kf is not None and ref_kf >= 0 and \
+                    self.map.kf_alive[ref_kf]:
+                T = np.asarray(rel, np.float64) @ \
+                    np.asarray(self.map.kf_pose[ref_kf], np.float64)
             out_ts.append(ts)
-            out_poses.append(Twc)
+            out_poses.append(np.linalg.inv(T))
         return out_ts, out_poses
+
+    def camera_trajectory(self):
+        """(timestamps, Twc list) with loop/BA corrections applied."""
+        return self._camera_trajectory()
 
     def save_trajectory_tum(self, path):
         ts, poses = self._camera_trajectory()

@@ -252,3 +252,18 @@ def log_sim3(s, R, t):
     W = _sim3_W(sigma, phi)
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
+
+
+def project_so3_np(R):
+    """Nearest rotation matrix (Frobenius) via SVD, det-corrected. NumPy.
+
+    Host-side hygiene for pose writebacks: chained float32 exp/compose
+    updates accumulate off-SO(3) skew over hundreds of 3x3 multiplies per
+    sequence, which both corrupts trace-based angle metrics and skews
+    reprojection geometry.
+    """
+    import numpy as _np
+    U, _, Vt = _np.linalg.svd(_np.asarray(R, _np.float64))
+    D = _np.eye(3)
+    D[2, 2] = _np.sign(_np.linalg.det(U @ Vt))
+    return (U @ D @ Vt).astype(_np.float32)

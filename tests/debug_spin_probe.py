@@ -8,7 +8,9 @@ At frame 13 of a 3 deg/frame yaw sequence, measures — in ONE run —
 both poses simultaneously; whichever measurement disagrees is the buggy one.
 """
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import numpy.linalg as la
 import sys

@@ -1,6 +1,8 @@
 """Full spin diagnostic: 3 deg/frame yaw, 30 frames, per-frame pose error."""
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import numpy.linalg as la
 import sys

@@ -12,7 +12,7 @@ from tests.test_slam_e2e import make_system
 
 @pytest.mark.slow
 def test_loop_detected_on_circular_trajectory():
-    seq = make_stereo_sequence(seed=3, n_frames=48, h=240, w=320,
+    seq = make_stereo_sequence(seed=3, n_frames=64, h=240, w=320,
                                trajectory="circle", n_points=1200)
     # train a small vocabulary on descriptors from a few frames
     probe = make_system(seq)
@@ -34,9 +34,7 @@ def test_loop_detected_on_circular_trajectory():
     # the loop closer must have fired at least once on a full circle
     assert slam.loop_closer is not None
     assert slam.loop_closer.n_loops_closed >= 1
-    est_ts = [t for t, _, _, l in slam.tracker.trajectory if not l]
-    est_p = [np.linalg.inv(T.astype(np.float64))
-             for t, T, _, l in slam.tracker.trajectory if not l]
+    est_ts, est_p = slam.camera_trajectory()
     ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
                    seq.timestamps, seq.poses_twc)
     assert ate < 0.30, f"ATE after loop closing {ate:.3f}"

@@ -54,9 +54,7 @@ def test_vo_tracks_and_matches_ground_truth(seq):
     states = run_sequence(slam, seq)
     ok = sum(s == TrackingState.OK for s in states)
     assert ok >= len(states) - 2, f"tracking lost: {states}"
-    est_ts = [t for t, _, _, lost in slam.tracker.trajectory if not lost]
-    est_poses = [np.linalg.inv(T.astype(np.float64))
-                 for t, T, _, lost in slam.tracker.trajectory if not lost]
+    est_ts, est_poses = slam.camera_trajectory()
     assert len(est_poses) >= 20
     ate = ate_rmse(np.asarray(est_ts), np.asarray(est_poses),
                    seq.timestamps, seq.poses_twc)
