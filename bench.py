@@ -19,28 +19,17 @@ def main():
 
     from jetson_slam_tpu.io.synthetic import make_stereo_sequence
     from jetson_slam_tpu.ops.frontend import OrbFrontend
-    from jetson_slam_tpu.ops.stereo import stereo_match, stack_pyramid
 
     H, W = 240, 320
     seq = make_stereo_sequence(seed=1, n_frames=8, h=H, w=W, n_points=800)
     fe = OrbFrontend(H, W, n_levels=4, scale_factor=1.2, threshold=20,
                      tile_h=16, tile_w=16)
-    geom = fe.geom
-    widths = np.asarray(geom.widths, np.int32)
-    scales = np.asarray(geom.scales, np.float32)
-    inv_scales = np.asarray(geom.inv_scales, np.float32)
-
-    extract = fe._extract  # jitted
-    pyr_fn = jax.jit(lambda im: stack_pyramid(fe.compute_pyramid(im), H, W))
+    bf = jnp.float32(seq.bf)
+    min_z = jnp.float32(seq.baseline)
 
     def frame_step(left, right):
-        L = extract(left)
-        R = extract(right)
-        pyr_l = pyr_fn(left)
-        pyr_r = pyr_fn(right)
-        u_r, depth, _ = stereo_match(L, R, pyr_l, pyr_r, widths, scales,
-                                     inv_scales, seq.bf, seq.baseline,
-                                     geom.n_levels)
+        # ONE fused program: ORB both eyes + stereo match
+        L, R, u_r, depth, _ = fe.frame_step(left, right, bf, min_z)
         return L, u_r, depth
 
     imgs = [(jnp.asarray(l), jnp.asarray(r))
@@ -50,7 +39,7 @@ def main():
     out = frame_step(*imgs[0])
     jax.block_until_ready(out)
 
-    n_iters = 50
+    n_iters = 500
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = frame_step(*imgs[i % len(imgs)])

@@ -11,9 +11,6 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
-import jax.numpy as jnp
-
-from ..ops.stereo import stereo_match, stack_pyramid
 
 
 def undistort_points(xy, fx, fy, cx, cy, k1, k2, p1, p2, k3=0.0, iters=5):
@@ -50,8 +47,19 @@ class Frame:
         geom = frontend.geom
         self.geom = geom
 
-        left = frontend.extract(left_img)
         self.n_slots = frontend.n_slots_padded
+        self.u_right = np.full(self.n_slots, -1.0, np.float32)
+        self.depth = np.full(self.n_slots, -1.0, np.float32)
+
+        if right_img is not None:
+            # ONE fused device program: ORB both eyes + stereo matching
+            left, _right, u_r, dep, _ = frontend.frame_step(
+                left_img, right_img, cam.bf, cam.bf / cam.fx)
+            self.u_right = np.asarray(u_r)
+            self.depth = np.asarray(dep)
+        else:
+            left = frontend.extract(left_img)
+
         self.valid = np.asarray(left.valid)
         self.kp_xy_raw = np.stack([np.asarray(left.xs), np.asarray(left.ys)], axis=1)
         self.octave = np.asarray(left.octave)
@@ -60,24 +68,7 @@ class Frame:
         self.desc = np.asarray(left.desc)
         self._left_result = left
 
-        self.u_right = np.full(self.n_slots, -1.0, np.float32)
-        self.depth = np.full(self.n_slots, -1.0, np.float32)
-
-        if right_img is not None:
-            right = frontend.extract(right_img)
-            pyr_l = stack_pyramid(frontend.compute_pyramid(jnp.asarray(left_img)),
-                                  geom.heights[0], geom.widths[0])
-            pyr_r = stack_pyramid(frontend.compute_pyramid(jnp.asarray(right_img)),
-                                  geom.heights[0], geom.widths[0])
-            u_r, dep, _ = stereo_match(
-                left, right, pyr_l, pyr_r,
-                np.asarray(geom.widths, np.int32),
-                np.asarray(geom.scales, np.float32),
-                np.asarray(geom.inv_scales, np.float32),
-                cam.bf, cam.bf / cam.fx, geom.n_levels)
-            self.u_right = np.asarray(u_r)
-            self.depth = np.asarray(dep)
-        elif depth_img is not None:
+        if right_img is None and depth_img is not None:
             # RGB-D: virtual right coordinate (Frame.cpp:996-1017)
             d = np.asarray(depth_img)
             xs = np.clip(self.kp_xy_raw[:, 0].astype(np.int64), 0, d.shape[1] - 1)

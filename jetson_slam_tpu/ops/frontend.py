@@ -52,6 +52,20 @@ def _resize_weights(in_size: int, out_size: int, scale: float) -> np.ndarray:
     return W
 
 
+def _band_matrix(n: int, kernel_1d: np.ndarray) -> np.ndarray:
+    """(n, n) banded matrix applying a centered 1-D kernel with zero padding
+    at the edges (matches conv SAME semantics used by gaussian_blur)."""
+    k = len(kernel_1d)
+    half = k // 2
+    M = np.zeros((n, n), dtype=np.float64)
+    for o in range(n):
+        for j in range(k):
+            i = o + j - half
+            if 0 <= i < n:
+                M[o, i] = kernel_1d[j]
+    return M
+
+
 def bilinear_resize(img_f32: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
     """out = wy @ img @ wx^T on the MXU, then uint8 truncation."""
     out = jnp.dot(wy, jnp.dot(img_f32, wx.T, preferred_element_type=jnp.float32),
@@ -62,10 +76,11 @@ def bilinear_resize(img_f32: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray) -> j
 def fast_score_map(img_u8, lut, threshold: int, mask=None):
     """FAST-16 SAD score map (spec: orb_FAST_compute_score.cu:1412-1623).
 
-    img_u8: (H, W) uint8.  Returns (H, W) int32 score map, zero outside the
-    BORDER_SKIP ROI and wherever the segment test fails.
+    img_u8: (..., H, W) uint8 (leading dims batch).  Returns (..., H, W)
+    int32 score map, zero outside the BORDER_SKIP ROI and wherever the
+    segment test fails.
     """
-    H, W = img_u8.shape
+    H, W = img_u8.shape[-2:]
     im = img_u8.astype(jnp.int32)
     v = im
     vt = v + threshold
@@ -73,8 +88,8 @@ def fast_score_map(img_u8, lut, threshold: int, mask=None):
 
     ring = []
     for dy, dx in np.asarray(FAST_RING):
-        ring.append(jnp.roll(im, (-int(dy), -int(dx)), axis=(0, 1)))
-    ring = jnp.stack(ring)  # (16, H, W)
+        ring.append(jnp.roll(im, (-int(dy), -int(dx)), axis=(-2, -1)))
+    ring = jnp.stack(ring)  # (16, ..., H, W)
 
     # early-exit opposite-pair pruning: pairs (4,12) then (0,8)
     def within(r):
@@ -82,7 +97,7 @@ def fast_score_map(img_u8, lut, threshold: int, mask=None):
 
     pruned = (within(ring[4]) & within(ring[12])) | (within(ring[0]) & within(ring[8]))
 
-    shifts = (1 << jnp.arange(16, dtype=jnp.int32))[:, None, None]
+    shifts = (1 << jnp.arange(16, dtype=jnp.int32)).reshape((16,) + (1,) * im.ndim)
     bright_idx = jnp.sum(jnp.where(ring > vt[None], shifts, 0), axis=0)
     dark_idx = jnp.sum(jnp.where(ring < v_t[None], shifts, 0), axis=0)
 
@@ -102,36 +117,40 @@ def fast_score_map(img_u8, lut, threshold: int, mask=None):
 def nms_lg(score, tile_h: int, tile_w: int, fuse_nms_l: bool = True):
     """Fused NMS-L (3x3, >= neighbors) + NMS-G per-tile argmax.
 
-    Spec: orb_FAST_apply_NMS_G.cu:1256-1384.  Returns dense per-tile
-    (x, y, s) int32 arrays of length n_tiles_h*n_tiles_w (row-major tiles).
-    Tie-break is first-in-row-major order (the reference's thread-scan order
-    differs only on exact integer score ties).
+    Spec: orb_FAST_apply_NMS_G.cu:1256-1384.  score: (..., H, W); returns
+    dense per-tile (x, y, s) int32 arrays of shape (..., n_tiles) (row-major
+    tiles).  Tie-break is first-in-row-major order (the reference's
+    thread-scan order differs only on exact integer score ties).
     """
-    H, W = score.shape
+    H, W = score.shape[-2:]
+    batch = score.shape[:-2]
     if fuse_nms_l:
         neigh = []
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
                     continue
-                neigh.append(jnp.roll(score, (-dy, -dx), axis=(0, 1)))
+                neigh.append(jnp.roll(score, (-dy, -dx), axis=(-2, -1)))
         nmax = jnp.max(jnp.stack(neigh), axis=0)
         score = jnp.where(score >= nmax, score, 0)
 
     n_th = (H - 1) // tile_h + 1
     n_tw = (W - 1) // tile_w + 1
     Hp, Wp = n_th * tile_h, n_tw * tile_w
-    padded = jnp.zeros((Hp, Wp), dtype=score.dtype).at[:H, :W].set(score)
-    tiles = padded.reshape(n_th, tile_h, n_tw, tile_w).transpose(0, 2, 1, 3)
-    flat = tiles.reshape(n_th * n_tw, tile_h * tile_w)
-    idx = jnp.argmax(flat, axis=1)
-    s = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    padded = jnp.zeros(batch + (Hp, Wp), dtype=score.dtype).at[..., :H, :W].set(score)
+    tiles = padded.reshape(batch + (n_th, tile_h, n_tw, tile_w))
+    tiles = jnp.swapaxes(tiles, -3, -2)  # (..., n_th, n_tw, tile_h, tile_w)
+    flat = tiles.reshape(batch + (n_th * n_tw, tile_h * tile_w))
+    idx = jnp.argmax(flat, axis=-1)
+    s = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
     ty = jnp.arange(n_th * n_tw, dtype=jnp.int32) // n_tw
     tx = jnp.arange(n_th * n_tw, dtype=jnp.int32) % n_tw
     y = ty * tile_h + (idx // tile_w).astype(jnp.int32)
     x = tx * tile_w + (idx % tile_w).astype(jnp.int32)
     empty = s <= 0
-    return (jnp.where(empty, 0, x), jnp.where(empty, 0, y), jnp.where(empty, 0, s))
+    zero = jnp.zeros_like(s)
+    return (jnp.where(empty, zero, x), jnp.where(empty, zero, y),
+            jnp.where(empty, zero, s))
 
 
 def nms_ms(kp_x, kp_y, kp_s, kp_level, kp_scale, n_levels: int, h0: int, w0: int):
@@ -363,7 +382,66 @@ class OrbFrontend:
                 mi = (m0[ys][:, xs] > 10).astype(np.int32)
                 self.masks.append(jnp.asarray(mi))
 
-        self._extract = jax.jit(self._extract_impl)
+        # ---- static tables for the fused batched path (flat gathers) ----
+        H0, W0, L = g.heights[0], g.widths[0], g.n_levels
+        self._h0w0 = (H0, W0)
+        # per-slot flat base offset into a flattened (L, H0, W0) stack
+        self._lvl_base = self.slot_level * np.int32(H0 * W0)
+        # intensity-centroid: relative flat offsets + (961, 2) moment weights
+        icy, icx = np.mgrid[-tables.HALF_PATCH_SIZE:tables.HALF_PATCH_SIZE + 1,
+                            -tables.HALF_PATCH_SIZE:tables.HALF_PATCH_SIZE + 1]
+        self._rel_ic = jnp.asarray((icy * W0 + icx).reshape(-1).astype(np.int32))
+        wu, wv = tables.ic_angle_masks()
+        self._wuv = jnp.asarray(
+            np.stack([wu.reshape(-1), wv.reshape(-1)], axis=1).astype(np.float32))
+        # rBRIEF pattern as device vectors
+        pat = tables.orb_pattern().astype(np.float32)
+        self._pat_x = jnp.asarray(pat[:, 0])
+        self._pat_y = jnp.asarray(pat[:, 1])
+        # separable gaussian: band matrices ride the MXU (7x7 sigma=10 is an
+        # outer product, reference orb_gpu.cpp:196-220)
+        g1 = np.exp(-(np.arange(-3, 4, dtype=np.float64) ** 2) / 200.0)
+        g1 = g1 / g1.sum()
+        self._gy = jnp.asarray(_band_matrix(H0, g1).astype(np.float32))
+        self._gx = jnp.asarray(_band_matrix(W0, g1).astype(np.float32))
+        # blur interior mask per level (pixels < 3 from the true level border
+        # keep their original value, orb_gaussian.cu:21-110)
+        interior = np.zeros((L, H0, W0), dtype=bool)
+        for i in range(L):
+            hi, wi = g.heights[i], g.widths[i]
+            interior[i, 3:hi - 3, 3:wi - 3] = True
+        self._blur_interior = jnp.asarray(interior)
+        # subpixel parabola: flat offsets of (center, left, right, up, down)
+        self._rel_sub = jnp.asarray(np.array([0, -1, 1, -W0, W0], np.int32))
+
+        # All device tables ride as EXPLICIT pytree arguments of the jitted
+        # entry points (module-level, self static).  Capturing them as jit
+        # closure constants triggers a hoisted-constant arity bug when
+        # multiple instances share compiled executables.
+        self._tables = dict(
+            lut=self.lut,
+            wy=tuple(self._wy[1:]),
+            wx=tuple(self._wx[1:]),
+            slot_level=self.slot_level,
+            slot_scale=self.slot_scale,
+            lvl_base=self._lvl_base,
+            rel_ic=self._rel_ic,
+            wuv=self._wuv,
+            pat_x=self._pat_x,
+            pat_y=self._pat_y,
+            gy=self._gy,
+            gx=self._gx,
+            blur_interior=self._blur_interior,
+            rel_sub=self._rel_sub,
+            masks=tuple(self.masks) if self.masks is not None else (),
+            widths=jnp.asarray(np.asarray(g.widths, np.int32)),
+            scales=jnp.asarray(np.asarray(g.scales, np.float32)),
+            inv_scales=jnp.asarray(np.asarray(g.inv_scales, np.float32)),
+        )
+        from .stereo import stereo_rel_offsets
+        rl, rr = stereo_rel_offsets(W0)
+        self._tables["rel_stereo_l"] = jnp.asarray(rl)
+        self._tables["rel_stereo_r"] = jnp.asarray(rr)
 
     # ------------------------------------------------------------------
     def compute_pyramid(self, img_u8):
@@ -374,64 +452,178 @@ class OrbFrontend:
             levels.append(bilinear_resize(f0, self._wy[i], self._wx[i]))
         return levels
 
-    def _extract_impl(self, img_u8):
+    def _pyramid_batch(self, T, imgs_u8):
+        """imgs_u8: (B, H0, W0) uint8 -> list of (B, Hi, Wi) uint8 levels."""
         g = self.geom
-        pyr = self.compute_pyramid(img_u8)
+        levels = [imgs_u8]
+        f0 = imgs_u8.astype(jnp.float32)
+        for i in range(1, g.n_levels):
+            # same contraction order as bilinear_resize: (img @ wx.T) then wy @
+            t = jnp.einsum("bhw,xw->bhx", f0, T["wx"][i - 1],
+                           preferred_element_type=jnp.float32)
+            out = jnp.einsum("oh,bhx->box", T["wy"][i - 1], t,
+                             preferred_element_type=jnp.float32)
+            levels.append(jnp.floor(out).astype(jnp.uint8))
+        return levels
 
-        xs_l, ys_l, s_l, dx_l, dy_l = [], [], [], [], []
-        for i in range(g.n_levels):
-            mask_i = self.masks[i] if self.masks is not None else None
-            score = fast_score_map(pyr[i], self.lut, self.threshold, mask_i)
+    def _take_b(self, flat_b, idx_b):
+        """Batched flat gather: flat_b (B, N), idx_b (B, ...) -> (B, ...)."""
+        return jax.vmap(lambda f, i: jnp.take(f, i, mode="clip"))(flat_b, idx_b)
+
+    def _extract_batch_core(self, T, imgs_u8):
+        """The fused front-end over a batch of images (both stereo eyes ride
+        one program).  imgs_u8: (B, H0, W0) uint8.
+
+        Returns (FrontendResult with leading batch dim, raw pyramid stack
+        (B, L, H0, W0) uint8 zero-padded to level-0 size).
+
+        TPU re-design of ORB_GPU::extract (orb_gpu.cpp:489-841): the per-level
+        CUDA streams become one XLA program; all per-keypoint stages
+        (orientation moments, rBRIEF sampling, subpixel fit) are single flat
+        gathers from padded pyramid stacks + MXU matmuls instead of per-level
+        kernels, and the Gaussian blur is a pair of separable band-matrix
+        matmuls on the MXU instead of a 7x7 convolution.
+        """
+        g = self.geom
+        B = imgs_u8.shape[0]
+        H0, W0 = self._h0w0
+        L = g.n_levels
+        Kp = self.n_slots_padded
+
+        pyr = self._pyramid_batch(T, imgs_u8)
+
+        # raw pyramid stack (zero-padded canvases) for moment/stereo gathers
+        raw_stack = jnp.zeros((B, L, H0, W0), jnp.uint8)
+        for i in range(L):
+            raw_stack = raw_stack.at[:, i, :g.heights[i], :g.widths[i]].set(pyr[i])
+
+        # FAST score + NMS per level (batched over eyes)
+        xs_l, ys_l, s_l = [], [], []
+        score_stack = jnp.zeros((B, L, H0, W0), jnp.int32)
+        for i in range(L):
+            mask_i = T["masks"][i] if self.masks is not None else None
+            score = fast_score_map(pyr[i], T["lut"], self.threshold, mask_i)
+            score_stack = score_stack.at[:, i, :g.heights[i], :g.widths[i]].set(score)
             x, y, s = nms_lg(score, g.tile_h[i], g.tile_w[i], fuse_nms_l=True)
             xs_l.append(x); ys_l.append(y); s_l.append(s)
-            if self.subpixel:
-                dx, dy = subpixel_offsets(score, x, y)
-                dx_l.append(dx); dy_l.append(dy)
 
-        pad = self.n_slots_padded - self.n_slots
-        kp_x = jnp.concatenate(xs_l + [jnp.zeros(pad, jnp.int32)])
-        kp_y = jnp.concatenate(ys_l + [jnp.zeros(pad, jnp.int32)])
-        kp_s = jnp.concatenate(s_l + [jnp.zeros(pad, jnp.int32)])
+        pad = Kp - self.n_slots
+        zpad = jnp.zeros((B, pad), jnp.int32)
+        kp_x = jnp.concatenate(xs_l + [zpad], axis=1)  # (B, Kp)
+        kp_y = jnp.concatenate(ys_l + [zpad], axis=1)
+        kp_s = jnp.concatenate(s_l + [zpad], axis=1)
 
         if self.apply_nms_ms:
-            kp_s = nms_ms(kp_x, kp_y, kp_s, self.slot_level, self.slot_scale,
-                          g.n_levels, g.heights[0], g.widths[0])
+            kp_s = jax.vmap(
+                lambda x, y, s: nms_ms(x, y, s, T["slot_level"], T["slot_scale"],
+                                       L, H0, W0))(kp_x, kp_y, kp_s)
 
-        # per-level orientation + blur + descriptors on dense slots
-        ang = jnp.zeros(self.n_slots_padded, jnp.float32)
-        desc = jnp.zeros((self.n_slots_padded, 32), jnp.uint8)
-        for i in range(g.n_levels):
-            o = g.level_offsets[i]
-            n = g.n_tiles_h[i] * g.n_tiles_w[i]
-            lx = jax.lax.dynamic_slice(kp_x, (o,), (n,))
-            ly = jax.lax.dynamic_slice(kp_y, (o,), (n,))
-            a = ic_angles(pyr[i], lx, ly)
-            blur = gaussian_blur(pyr[i], self.gauss)
-            d = orb_descriptors(blur, lx, ly, a)
-            ang = jax.lax.dynamic_update_slice(ang, a, (o,))
-            desc = jax.lax.dynamic_update_slice(desc, d, (o, 0))
+        # per-slot flat base offsets into the flattened (L*H0*W0) stacks
+        base = T["lvl_base"][None, :] + kp_y * W0 + kp_x  # (B, Kp)
+
+        # subpixel 3x3 parabola on the raw score stack
+        if self.subpixel:
+            sc = self._take_b(score_stack.reshape(B, -1),
+                              base[:, :, None] + T["rel_sub"]).astype(jnp.float32)
+            s0, sl, sr, su, sd = (sc[..., 0], sc[..., 1], sc[..., 2],
+                                  sc[..., 3], sc[..., 4])
+
+            def fit(sm, sp):
+                den = sm - 2.0 * s0 + sp
+                off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / den, 0.0)
+                return jnp.clip(off, -0.5, 0.5)
+
+            sub_dx, sub_dy = fit(sl, sr), fit(su, sd)
+
+        # intensity-centroid orientation: one gather + one MXU matmul
+        raw_flat = raw_stack.reshape(B, -1)
+        patches = self._take_b(raw_flat, base[:, :, None] + T["rel_ic"]
+                               ).astype(jnp.float32)                 # (B, Kp, 961)
+        m = jnp.einsum("bkp,pc->bkc", patches, T["wuv"],
+                       preferred_element_type=jnp.float32)           # (B, Kp, 2)
+        ang = jnp.arctan2(m[..., 1], m[..., 0])                      # (B, Kp)
+
+        # separable gaussian blur of the whole stack on the MXU
+        sf = raw_stack.astype(jnp.float32)
+        t = jnp.einsum("blhw,xw->blhx", sf, T["gx"],
+                       preferred_element_type=jnp.float32)
+        bl = jnp.einsum("oh,blhx->blox", T["gy"], t,
+                        preferred_element_type=jnp.float32)
+        blur_stack = jnp.where(T["blur_interior"][None], jnp.floor(bl), sf)
+
+        # rBRIEF: rotate pattern, one gather from the blurred stack, pack bits
+        ca = jnp.cos(ang)[:, :, None]
+        sa = jnp.sin(ang)[:, :, None]
+        px = T["pat_x"][None, None, :]
+        py = T["pat_y"][None, None, :]
+        rows = jnp.round(px * sa + py * ca).astype(jnp.int32)        # (B, Kp, 512)
+        cols = jnp.round(px * ca - py * sa).astype(jnp.int32)
+        samples = self._take_b(blur_stack.reshape(B, -1),
+                               base[:, :, None] + rows * W0 + cols)  # (B, Kp, 512)
+        t0 = samples[..., 0::2]
+        t1 = samples[..., 1::2]
+        bits = (t0 < t1).astype(jnp.int32).reshape(B, Kp, 32, 8)
+        weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, None, :]
+        desc = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)    # (B, Kp, 32)
 
         valid = kp_s > 0
-        scale = self.slot_scale
+        scale = T["slot_scale"][None, :]
         fx_lvl = kp_x.astype(jnp.float32)
         fy_lvl = kp_y.astype(jnp.float32)
         if self.subpixel:
-            padf = jnp.zeros(pad, jnp.float32)
-            fx_lvl = fx_lvl + jnp.concatenate(dx_l + [padf])
-            fy_lvl = fy_lvl + jnp.concatenate(dy_l + [padf])
+            fx_lvl = fx_lvl + sub_dx
+            fy_lvl = fy_lvl + sub_dy
         xs0 = fx_lvl * scale
         ys0 = fy_lvl * scale
         if self.quantize_level0_coords:  # reference copy_output int cast
             xs0 = jnp.floor(xs0)
             ys0 = jnp.floor(ys0)
-        size = jnp.floor(31.0 * scale)
-        return FrontendResult(
+        size = jnp.broadcast_to(jnp.floor(31.0 * scale), (B, Kp))
+        octave = jnp.broadcast_to(T["slot_level"][None, :], (B, Kp))
+        res = FrontendResult(
             xs=xs0, ys=ys0, response=kp_s,
             angle=ang * np.float32(180.0 / np.pi),
-            octave=self.slot_level, size=size, valid=valid,
+            octave=octave, size=size, valid=valid,
             desc=desc, lx=kp_x, ly=kp_y,
         )
+        return res, raw_stack
+
+    def _extract_impl(self, T, img_u8):
+        res, _ = self._extract_batch_core(T, img_u8[None])
+        return jax.tree_util.tree_map(lambda a: a[0], res)
+
+    def _frame_step_impl(self, T, left_u8, right_u8, mbf, min_z):
+        """ONE jitted program for the whole stereo frame: ORB on both eyes
+        (batched) + dense stereo matching (Frame.cpp:107-110's two extraction
+        threads + Frame::ComputeStereoMatches collapse into one dispatch)."""
+        from .stereo import stereo_match_core
+        res, raw_stack = self._extract_batch_core(
+            T, jnp.stack([left_u8, right_u8]))
+        take0 = jax.tree_util.tree_map(lambda a: a[0], res)
+        take1 = jax.tree_util.tree_map(lambda a: a[1], res)
+        u_r, depth, best_dist = stereo_match_core(
+            take0, take1, raw_stack[0], raw_stack[1],
+            T["widths"], T["scales"], T["inv_scales"],
+            mbf, min_z, self.geom.n_levels,
+            rel_l=T["rel_stereo_l"], rel_r=T["rel_stereo_r"])
+        return take0, take1, u_r, depth, best_dist
 
     def extract(self, img_u8) -> FrontendResult:
         """img_u8: (H, W) uint8 array (numpy or jax)."""
-        return self._extract(jnp.asarray(img_u8))
+        return _extract_jit(self, self._tables, jnp.asarray(img_u8))
+
+    def frame_step(self, left_u8, right_u8, mbf: float, min_z: float):
+        """Fused stereo frame: returns (left, right, u_right, depth, dist)."""
+        return _frame_step_jit(self, self._tables, jnp.asarray(left_u8),
+                               jnp.asarray(right_u8), jnp.float32(mbf),
+                               jnp.float32(min_z))
+
+
+@partial(jax.jit, static_argnums=0)
+def _extract_jit(fe: "OrbFrontend", T, img_u8):
+    return fe._extract_impl(T, img_u8)
+
+
+@partial(jax.jit, static_argnums=0)
+def _frame_step_jit(fe: "OrbFrontend", T, left_u8, right_u8, mbf, min_z):
+    return fe._frame_step_impl(T, left_u8, right_u8, mbf, min_z)

@@ -32,10 +32,10 @@ PATCH_W = 11       # reference PATCH_WINDOW (orb_stereo_match.cu:56)
 PATCH_HALF = 5
 NBRHOOD = 11       # reference NBRHOOD (orb_stereo_match.cu:60)
 NBR_HALF = 5
-INVALID = jnp.int32(1 << 29)
+INVALID = 1 << 29  # python int: keep it a literal, not a traced constant
 
 
-@partial(jax.jit, static_argnames=("n_levels", "min_z"))
+@partial(jax.jit, static_argnames=("n_levels",))
 def stereo_match(
     left, right,
     pyr_left_stack, pyr_right_stack, level_widths,
@@ -43,12 +43,30 @@ def stereo_match(
     mbf: float, min_z: float,
     n_levels: int,
 ):
+    """Jitted wrapper around stereo_match_core (kept for call sites that
+    extract eyes separately; the fused path is OrbFrontend.frame_step)."""
+    return stereo_match_core(left, right, pyr_left_stack, pyr_right_stack,
+                             level_widths, scales, inv_scales, mbf, min_z,
+                             n_levels)
+
+
+def stereo_match_core(
+    left, right,
+    pyr_left_stack, pyr_right_stack, level_widths,
+    scales, inv_scales,
+    mbf, min_z,
+    n_levels: int,
+    rel_l=None, rel_r=None,
+):
     """Dense stereo matching.
 
     left/right: FrontendResult pytrees (dense slots).
     pyr_*_stack: (L, H0, W0) uint8 — per-level images zero-padded to level-0
-    size (stacked so per-slot octave selection is a single dynamic_slice).
+    size (stacked so per-slot octave selection is one flat gather).
     level_widths: (L,) int32 true widths per level.
+    rel_l / rel_r: optional precomputed flat window offsets (121,) / (231,)
+    int32 device arrays (pass them as jit ARGUMENTS — see stereo_rel_offsets —
+    to avoid capturing large trace constants).
     Returns (u_right, depth, best_dist) each (KL,) float32/int32.
     """
     vL = left.ys    # level-0 float coords (already truncated ints)
@@ -104,30 +122,35 @@ def stereo_match(
     yy = scaled_vL0.astype(jnp.int32)
     lvl = octave
 
-    # clamp starts so dynamic_slice stays in range for unmatched slots
-    def safe_start(v, lo, hi):
-        return jnp.clip(v, lo, hi)
-
     H0 = pyr_left_stack.shape[1]
     W0 = pyr_left_stack.shape[2]
 
-    def window_costs(lvl_i, y_i, xl_i, xr_i):
-        y0 = safe_start(y_i - PATCH_HALF, 0, H0 - PATCH_W)
-        xl0 = safe_start(xl_i - PATCH_HALF, 0, W0 - PATCH_W)
-        xr0 = safe_start(xr_i - PATCH_HALF - NBR_HALF, 0, W0 - (PATCH_W + NBRHOOD - 1))
-        lpatch = jax.lax.dynamic_slice(
-            pyr_left_stack, (lvl_i, y0, xl0), (1, PATCH_W, PATCH_W))[0].astype(jnp.float32)
-        rstrip = jax.lax.dynamic_slice(
-            pyr_right_stack, (lvl_i, y0, xr0), (1, PATCH_W, PATCH_W + NBRHOOD - 1))[0].astype(jnp.float32)
-        lc = lpatch[PATCH_HALF, PATCH_HALF]
-        costs = []
-        for o in range(NBRHOOD):
-            rp = jax.lax.dynamic_slice(rstrip, (0, o), (PATCH_W, PATCH_W))
-            rc = rp[PATCH_HALF, PATCH_HALF]
-            costs.append(jnp.sum(jnp.abs((lpatch - lc) - (rp - rc))))
-        return jnp.stack(costs)
+    # window correlation via flat gathers from the padded pyramid stacks:
+    # one (KL, 121) left-patch gather + one (KL, 231) right-strip gather,
+    # then the 11 neighborhood L1 costs are static slices of the strip
+    # (the reference's cuBLAS-GEMV-with-ones reduce, orb_stereo_match.cu:1036)
+    if rel_l is None or rel_r is None:
+        rl, rr = stereo_rel_offsets(W0)
+        rel_l = jnp.asarray(rl) if rel_l is None else rel_l
+        rel_r = jnp.asarray(rr) if rel_r is None else rel_r
 
-    costs = jax.vmap(window_costs)(lvl, yy, xl, xr)  # (KL, 11)
+    base_l = lvl * (H0 * W0) + yy * W0 + xl
+    base_r = lvl * (H0 * W0) + yy * W0 + xr
+    lflat = pyr_left_stack.reshape(-1)
+    rflat = pyr_right_stack.reshape(-1)
+    lpatch = jnp.take(lflat, base_l[:, None] + rel_l, mode="clip").astype(
+        jnp.float32).reshape(-1, PATCH_W, PATCH_W)
+    rstrip = jnp.take(rflat, base_r[:, None] + rel_r, mode="clip").astype(
+        jnp.float32).reshape(-1, PATCH_W, PATCH_W + NBRHOOD - 1)
+    lc = lpatch[:, PATCH_HALF, PATCH_HALF]
+    ldiff = lpatch - lc[:, None, None]
+    cost_l = []
+    for o in range(NBRHOOD):
+        rp = rstrip[:, :, o:o + PATCH_W]
+        rc = rp[:, PATCH_HALF, PATCH_HALF]
+        cost_l.append(jnp.sum(jnp.abs(ldiff - (rp - rc[:, None, None])),
+                              axis=(1, 2)))
+    costs = jnp.stack(cost_l, axis=1)  # (KL, 11)
 
     best_r = jnp.argmin(costs, axis=1)
     best_cost = jnp.take_along_axis(costs, best_r[:, None], axis=1)[:, 0]
@@ -160,6 +183,16 @@ def stereo_match(
     depth = jnp.where(keep, depth, -1.0)
     u_right = jnp.where(keep, u_right, -1.0)
     return u_right, depth, best_dist
+
+
+def stereo_rel_offsets(w0: int):
+    """Static flat offsets for the 11x11 left patch and 11x21 right strip."""
+    dy, dx = np.mgrid[-PATCH_HALF:PATCH_HALF + 1, -PATCH_HALF:PATCH_HALF + 1]
+    rel_l = (dy * w0 + dx).reshape(-1).astype(np.int32)
+    dys, dxs = np.mgrid[-PATCH_HALF:PATCH_HALF + 1,
+                        -PATCH_HALF - NBR_HALF:PATCH_HALF + NBR_HALF + 1]
+    rel_r = (dys * w0 + dxs).reshape(-1).astype(np.int32)
+    return rel_l, rel_r
 
 
 def stack_pyramid(levels, h0: int, w0: int):
