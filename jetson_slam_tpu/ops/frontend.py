@@ -332,7 +332,7 @@ class OrbFrontend:
                  fast_n_min=9, fast_n_max=16, threshold=20,
                  tile_h=30, tile_w=30, fixed_multi_scale_tile_size=False,
                  apply_nms_ms=False, mask=None, quantize_level0_coords=False,
-                 subpixel=True):
+                 subpixel=True, use_pallas="auto"):
         # quantize_level0_coords=True reproduces the reference's int cast in
         # copy_output (orb_copy_output.cu:35: keypoints_x_op is int*), which
         # quantizes level-L keypoints by scale^L pixels at level 0.  Off by
@@ -346,7 +346,19 @@ class OrbFrontend:
             fixed_multi_scale_tile_size)
         g = self.geom
         self.threshold = int(threshold)
+        self.fast_n_min = int(fast_n_min)
         self.apply_nms_ms = bool(apply_nms_ms) and n_levels > 1
+        # Pallas fused FAST+NMS-L kernel (ops/pallas_frontend.py): the
+        # arithmetic segment test it uses is exactly the LUT iff n_max >= 16,
+        # and the kernel has no mask support; fall back to XLA otherwise.
+        # use_pallas: "auto" -> on real TPU only; True -> always (interpreted
+        # off-TPU, for tests); False -> XLA path.
+        eligible = fast_n_max >= 16 and mask is None
+        if use_pallas == "auto":
+            self._use_pallas = eligible and jax.default_backend() == "tpu"
+        else:
+            self._use_pallas = bool(use_pallas) and eligible
+        self._pallas_interpret = jax.default_backend() != "tpu"
         self.lut = jnp.asarray(tables.fast_lut(fast_n_min, fast_n_max).astype(np.int32))
         self.gauss = jnp.asarray(tables.gaussian_weights())
         self.n_slots = g.total_slots
@@ -442,6 +454,12 @@ class OrbFrontend:
         rl, rr = stereo_rel_offsets(W0)
         self._tables["rel_stereo_l"] = jnp.asarray(rl)
         self._tables["rel_stereo_r"] = jnp.asarray(rr)
+        # per-level FAST ROI rectangles for the pallas kernel (half-open)
+        roi_l = np.array(
+            [[BORDER_SKIP, g.heights[i] - BORDER_SKIP,
+              BORDER_SKIP, g.widths[i] - BORDER_SKIP]
+             for i in range(g.n_levels)], np.int32)
+        self._tables["roi_l"] = jnp.asarray(roi_l)
 
     # ------------------------------------------------------------------
     def compute_pyramid(self, img_u8):
@@ -497,15 +515,30 @@ class OrbFrontend:
         for i in range(L):
             raw_stack = raw_stack.at[:, i, :g.heights[i], :g.widths[i]].set(pyr[i])
 
-        # FAST score + NMS per level (batched over eyes)
+        # FAST score + NMS
         xs_l, ys_l, s_l = [], [], []
-        score_stack = jnp.zeros((B, L, H0, W0), jnp.int32)
-        for i in range(L):
-            mask_i = T["masks"][i] if self.masks is not None else None
-            score = fast_score_map(pyr[i], T["lut"], self.threshold, mask_i)
-            score_stack = score_stack.at[:, i, :g.heights[i], :g.widths[i]].set(score)
-            x, y, s = nms_lg(score, g.tile_h[i], g.tile_w[i], fuse_nms_l=True)
-            xs_l.append(x); ys_l.append(y); s_l.append(s)
+        if self._use_pallas:
+            # fused pallas kernel over all B*L canvases in ONE launch
+            from .pallas_frontend import fast_score_nms_pallas
+            roi = jnp.tile(T["roi_l"], (B, 1))
+            raw_s, nms_s = fast_score_nms_pallas(
+                raw_stack.reshape(B * L, H0, W0), roi, self.threshold,
+                self.fast_n_min, interpret=self._pallas_interpret)
+            score_stack = raw_s.reshape(B, L, H0, W0)
+            nms_stack = nms_s.reshape(B, L, H0, W0)
+            for i in range(L):
+                x, y, s = nms_lg(nms_stack[:, i, :g.heights[i], :g.widths[i]],
+                                 g.tile_h[i], g.tile_w[i], fuse_nms_l=False)
+                xs_l.append(x); ys_l.append(y); s_l.append(s)
+        else:
+            # XLA path, per level (batched over eyes)
+            score_stack = jnp.zeros((B, L, H0, W0), jnp.int32)
+            for i in range(L):
+                mask_i = T["masks"][i] if self.masks is not None else None
+                score = fast_score_map(pyr[i], T["lut"], self.threshold, mask_i)
+                score_stack = score_stack.at[:, i, :g.heights[i], :g.widths[i]].set(score)
+                x, y, s = nms_lg(score, g.tile_h[i], g.tile_w[i], fuse_nms_l=True)
+                xs_l.append(x); ys_l.append(y); s_l.append(s)
 
         pad = Kp - self.n_slots
         zpad = jnp.zeros((B, pad), jnp.int32)

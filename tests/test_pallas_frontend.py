@@ -1,0 +1,69 @@
+"""Pallas fused FAST+NMS-L kernel: exact parity with the XLA path.
+
+The kernel runs in interpret mode on CPU (tests force it via
+OrbFrontend(use_pallas=True)); on the real TPU the same code compiles
+through Mosaic.  Oracle: ops/frontend.fast_score_map + nms_lg, themselves
+verified against the scalar NumPy spec in tests/test_frontend.py.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jetson_slam_tpu.ops.frontend import OrbFrontend, fast_score_map, nms_lg
+from jetson_slam_tpu.ops.pallas_frontend import (_circular_run_ge,
+                                                 fast_score_nms_pallas)
+from jetson_slam_tpu.ops.tables import BORDER_SKIP, fast_lut
+
+
+def test_arithmetic_run_test_matches_lut_exhaustively():
+    """All 65536 ring masks, several FAST_N_MIN values (FAST_N_MAX=16)."""
+    all_masks = np.arange(1 << 16, dtype=np.uint32)
+    for n_min in (5, 9, 12):
+        lut = fast_lut(n_min, 16).astype(bool)
+        got = np.asarray(_circular_run_ge(all_masks, n_min)) & (
+            all_masks != 0xFFFF)
+        assert np.array_equal(got, lut), f"n_min={n_min}"
+
+
+def test_kernel_matches_xla_score_and_nms():
+    rng = np.random.default_rng(3)
+    lut = jnp.asarray(fast_lut(9, 16).astype(np.int32))
+    H0, W0 = 120, 160
+    sizes = [(120, 160), (100, 133), (83, 111)]
+    stack = np.zeros((len(sizes), H0, W0), np.uint8)
+    for i, (h, w) in enumerate(sizes):
+        stack[i, :h, :w] = rng.integers(0, 256, (h, w), np.uint8)
+    roi = np.array([[BORDER_SKIP, h - BORDER_SKIP, BORDER_SKIP, w - BORDER_SKIP]
+                    for h, w in sizes], np.int32)
+    raw_p, nms_p = fast_score_nms_pallas(
+        jnp.asarray(stack), jnp.asarray(roi), 20, 9, interpret=True)
+    raw_p, nms_p = np.asarray(raw_p), np.asarray(nms_p)
+    for i, (h, w) in enumerate(sizes):
+        score = np.asarray(fast_score_map(jnp.asarray(stack[i, :h, :w]),
+                                          lut, 20))
+        assert np.array_equal(raw_p[i, :h, :w], score)
+        assert not raw_p[i, h:, :].any() and not raw_p[i, :, w:].any()
+        neigh = [np.roll(score, (-dy, -dx), axis=(0, 1))
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                 if (dy, dx) != (0, 0)]
+        nms_ref = np.where(score >= np.max(np.stack(neigh), axis=0), score, 0)
+        assert np.array_equal(nms_p[i, :h, :w], nms_ref)
+
+
+@pytest.mark.slow
+def test_full_extract_parity_pallas_vs_xla():
+    """End-to-end OrbFrontend.extract with the pallas score path must produce
+    the identical FrontendResult to the XLA path."""
+    from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+    seq = make_stereo_sequence(seed=5, n_frames=1, h=120, w=160, n_points=300)
+    img = seq.lefts[0]
+    kw = dict(n_levels=3, scale_factor=1.2, threshold=20, tile_h=12, tile_w=12)
+    fe_x = OrbFrontend(120, 160, use_pallas=False, **kw)
+    fe_p = OrbFrontend(120, 160, use_pallas=True, **kw)
+    rx = fe_x.extract(img)
+    rp = fe_p.extract(img)
+    assert np.array_equal(np.asarray(rx.valid), np.asarray(rp.valid))
+    assert int(np.asarray(rx.valid).sum()) > 20
+    for name in ("xs", "ys", "response", "angle", "octave", "desc"):
+        a, b = np.asarray(getattr(rx, name)), np.asarray(getattr(rp, name))
+        assert np.array_equal(a, b), name
