@@ -127,6 +127,42 @@ class SlamSystem:
     def shutdown(self):
         self._run_mapping()
 
+    # -------------------------------------------------------- checkpoints
+    def save_map(self, path):
+        """Serialize the map (the reference's SaveMap TODO, System.h:115)."""
+        from ..io.checkpoint import save_map
+        save_map(self.map, path)
+
+    def load_map(self, path):
+        """Load a map checkpoint and rebind all modules to it.  The tracker
+        restarts LOST so the next frame relocalizes (BoW + EPnP) against the
+        loaded map — the resume story the reference never shipped."""
+        from ..core.tracking import TrackingState
+        from ..io.checkpoint import load_map
+        self.map = load_map(path)
+        if self.local_mapper is not None:
+            self.local_mapper = LocalMapper(
+                self.map, self.config.camera, self.frontend.geom,
+                sensor=self.sensor, run_ba=self.local_mapper.run_ba)
+        if self.database is not None:
+            from ..bow.database import KeyFrameDatabase
+            self.database = KeyFrameDatabase(
+                self.vocabulary, max_keyframes=self.config.max_keyframes)
+            for kid in self.map.keyframe_ids():
+                self.database.add(
+                    kid, self.map.kf_desc[kid][self.map.kf_kp_valid[kid]])
+            from ..core.loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(self.map, self.database,
+                                          self.config.camera,
+                                          self.frontend.geom,
+                                          sensor=self.sensor)
+        self.tracker = Tracker(self.frontend, self.config.camera, self.map,
+                               sensor=self.sensor,
+                               local_mapper=self.local_mapper,
+                               database=self.database)
+        self.tracker.state = (TrackingState.LOST if self.map.n_keyframes()
+                              else TrackingState.NO_IMAGES_YET)
+
     # --------------------------------------------------------- trajectory
     def _camera_trajectory(self):
         """Relative-pose chain x reference-KF poses (System.cpp:334-392).

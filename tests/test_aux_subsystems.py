@@ -1,0 +1,115 @@
+"""Aux subsystems: viewer rendering, map checkpoint/resume, profiling.
+
+The reference has none of these as testable units (SURVEY.md §5: Pangolin
+GUI, SaveMap TODO, tictoc prints); here each is a headless library feature.
+"""
+import numpy as np
+
+from jetson_slam_tpu.core.map import MapStore
+from jetson_slam_tpu.io.checkpoint import load_map, save_map
+from jetson_slam_tpu.utils.profiling import TicToc
+from jetson_slam_tpu.viz import FrameDrawer, MapDrawer
+
+
+def _tiny_map():
+    m = MapStore(max_points=64, max_keyframes=8, n_slots=16)
+
+    class FakeFrame:
+        timestamp = 1.5
+        frame_id = 3
+        Tcw = np.eye(4, dtype=np.float32)
+        kp_xy = np.random.default_rng(0).uniform(0, 100, (16, 2)).astype(np.float32)
+        octave = np.zeros(16, np.int32)
+        angle = np.zeros(16, np.float32)
+        u_right = np.full(16, -1.0, np.float32)
+        depth = np.full(16, -1.0, np.float32)
+        desc = np.arange(16 * 32, dtype=np.uint8).reshape(16, 32)
+        valid = np.ones(16, bool)
+        map_points = np.full(16, -1, np.int32)
+
+    kid = m.add_keyframe(FakeFrame())
+    for i in range(5):
+        pid = m.add_point(np.array([i, 0, 5.0], np.float32),
+                          np.full(32, i, np.uint8), ref_kf=kid)
+        m.add_observation(kid, i, pid)
+    return m
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = _tiny_map()
+    p = str(tmp_path / "map.npz")
+    save_map(m, p)
+    m2 = load_map(p)
+    assert m2.n_keyframes() == m.n_keyframes()
+    assert m2.n_points() == m.n_points()
+    assert np.array_equal(m2.kf_obs, m.kf_obs)
+    assert np.array_equal(m2.pt_pos, m.pt_pos)
+    assert m2._next_pt == m._next_pt and m2._next_kf == m._next_kf
+    # mutating the copy must not touch the original (real arrays, not views)
+    m2.pt_pos[0] += 1
+    assert not np.array_equal(m2.pt_pos, m.pt_pos)
+
+
+def test_frame_drawer_renders():
+    img = np.random.default_rng(1).integers(0, 255, (120, 160), np.uint8)
+
+    class F:
+        valid = np.array([True, True, False])
+        kp_xy_raw = np.array([[30.0, 40.0], [100.0, 80.0], [0, 0]], np.float32)
+        map_points = np.array([5, -1, -1], np.int32)
+        outlier = np.zeros(3, bool)
+
+    out = FrameDrawer(16, 16).draw(img, F(), state_name="OK", n_kfs=2, n_pts=10)
+    assert out.shape == (140, 160, 3) and out.dtype == np.uint8
+    assert out.any()
+
+
+def test_map_drawer_renders():
+    m = _tiny_map()
+    for top_down in (False, True):
+        out = MapDrawer(top_down=top_down).draw(
+            m, current_Tcw=np.eye(4, dtype=np.float32),
+            trajectory=np.tile(np.eye(4, dtype=np.float32), (4, 1, 1)))
+        assert out.ndim == 3 and out.shape[2] == 3 and out.any()
+
+
+def test_tictoc_stats():
+    tt = TicToc()
+    for _ in range(3):
+        tt.tic("a")
+        tt.toc("a")
+    with tt.scope("b"):
+        pass
+    sa, sb = tt.stats("a"), tt.stats("b")
+    assert sa["count"] == 3 and sb["count"] == 1
+    assert sa["total_ms"] >= sa["max_ms"] >= sa["min_ms"] >= 0
+    assert "a" in tt.report() and "b" in tt.report()
+    tt.reset()
+    assert tt.stats("a")["count"] == 0
+
+
+def test_slam_system_map_save_load(tmp_path):
+    """SlamSystem.save_map/load_map rebinds modules and restarts LOST."""
+    from jetson_slam_tpu.config import SLAMConfig
+    from jetson_slam_tpu.core.tracking import TrackingState
+    from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+    from jetson_slam_tpu.models.slam import SlamSystem
+
+    seq = make_stereo_sequence(seed=7, n_frames=4, h=120, w=160, n_points=300)
+    cfg = SLAMConfig()
+    cfg.camera.fx = seq.fx; cfg.camera.fy = seq.fy
+    cfg.camera.cx = seq.cx; cfg.camera.cy = seq.cy
+    cfg.camera.width = 160; cfg.camera.height = 120; cfg.camera.bf = seq.bf
+    cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
+    cfg.orb.n_levels = 3; cfg.orb.tile_h = 12; cfg.orb.tile_w = 12
+    slam = SlamSystem(cfg, sensor="stereo")
+    for i in range(4):
+        slam.track_stereo(seq.lefts[i], seq.rights[i], seq.timestamps[i])
+    n_kf, n_pt = slam.map.n_keyframes(), slam.map.n_points()
+    assert n_kf >= 1 and n_pt > 0
+    p = str(tmp_path / "m.npz")
+    slam.save_map(p)
+    slam.load_map(p)
+    assert slam.map.n_keyframes() == n_kf
+    assert slam.map.n_points() == n_pt
+    assert slam.get_tracking_state() == TrackingState.LOST
