@@ -31,13 +31,18 @@ class TrackingState(enum.Enum):
 class Tracker:
     def __init__(self, frontend, cam, map_store: MapStore, sensor="stereo",
                  local_mapper=None, min_frames=0, max_frames=None,
-                 database=None):
+                 database=None, map_lock=None):
         self.frontend = frontend
         self.cam = cam
         self.map = map_store
         self.sensor = sensor
         self.local_mapper = local_mapper
         self.database = database  # BoW KeyFrameDatabase for relocalization
+        # Map::mMutexMapUpdate analog for the async pipeline (Tracking.cpp:385
+        # takes it for the whole Track()); None -> no-op context
+        import contextlib
+        self._map_lock = map_lock if map_lock is not None \
+            else contextlib.nullcontext()
         self.state = TrackingState.NO_IMAGES_YET
         self.velocity = None          # 4x4 Tcl (current-from-last motion)
         self.last_frame: Frame | None = None
@@ -75,6 +80,12 @@ class Tracker:
 
     # =============================================================== core
     def _track(self, frame: Frame):
+        # frame construction (the fused device front-end) already happened
+        # OUTSIDE the lock; graph reads/writes happen inside it
+        with self._map_lock:
+            return self._track_locked(frame)
+
+    def _track_locked(self, frame: Frame):
         if self.local_mapper is not None:
             self.local_mapper.tick()
         if self.state == TrackingState.NO_IMAGES_YET:

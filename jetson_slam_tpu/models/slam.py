@@ -27,7 +27,7 @@ SENSOR_RGBD = "rgbd"
 class SlamSystem:
     def __init__(self, config: SLAMConfig, sensor: str = SENSOR_STEREO,
                  vocabulary=None, enable_mapping: bool = True,
-                 enable_ba: bool = True):
+                 enable_ba: bool = True, async_mapping: bool = False):
         self.config = config
         self.sensor = sensor
         cam = config.camera
@@ -63,9 +63,20 @@ class SlamSystem:
                 vocabulary, max_keyframes=config.max_keyframes)
             self.loop_closer = LoopCloser(self.map, self.database, cam,
                                           self.frontend.geom, sensor=sensor)
+        # async: LocalMapping + LoopClosing on a worker thread, like the
+        # reference's System.cpp:97-111 thread spawn; else synchronous stage
+        self.pipeline = None
+        mapper_handle = self.local_mapper
+        map_lock = None
+        if async_mapping and self.local_mapper is not None:
+            from ..core.pipeline import AsyncMappingPipeline
+            self.pipeline = AsyncMappingPipeline(self.local_mapper,
+                                                 self.loop_closer)
+            mapper_handle = self.pipeline
+            map_lock = self.pipeline.lock
         self.tracker = Tracker(self.frontend, cam, self.map, sensor=sensor,
-                               local_mapper=self.local_mapper,
-                               database=self.database)
+                               local_mapper=mapper_handle,
+                               database=self.database, map_lock=map_lock)
         self.localization_only = False
 
     # ------------------------------------------------------------- track
@@ -85,6 +96,8 @@ class SlamSystem:
         return state, frame
 
     def _run_mapping(self):
+        if self.pipeline is not None:
+            return  # the worker thread drains the queue
         if self.local_mapper is not None and not self.localization_only:
             done = self.local_mapper.process_pending()
             if self.loop_closer is not None:
@@ -113,6 +126,10 @@ class SlamSystem:
 
     def reset(self):
         """System::Reset -> Tracking::Reset (Tracking.cpp:2117)."""
+        was_async = self.pipeline is not None
+        if was_async:
+            self.pipeline.shutdown()
+            self.pipeline = None
         self.map = MapStore(max_points=self.config.max_map_points,
                             max_keyframes=self.config.max_keyframes,
                             n_slots=self.frontend.n_slots_padded)
@@ -120,12 +137,24 @@ class SlamSystem:
             self.local_mapper = LocalMapper(
                 self.map, self.config.camera, self.frontend.geom,
                 sensor=self.sensor, run_ba=self.local_mapper.run_ba)
+        mapper_handle, map_lock = self.local_mapper, None
+        if was_async and self.local_mapper is not None:
+            from ..core.pipeline import AsyncMappingPipeline
+            self.pipeline = AsyncMappingPipeline(self.local_mapper,
+                                                 self.loop_closer)
+            mapper_handle = self.pipeline
+            map_lock = self.pipeline.lock
         self.tracker = Tracker(self.frontend, self.config.camera, self.map,
                                sensor=self.sensor,
-                               local_mapper=self.local_mapper)
+                               local_mapper=mapper_handle, map_lock=map_lock)
 
     def shutdown(self):
-        self._run_mapping()
+        """System::Shutdown — drain/stop mapping threads (System.cpp:313)."""
+        if self.pipeline is not None:
+            self.pipeline.shutdown()
+            self.pipeline = None
+        else:
+            self._run_mapping()
 
     # -------------------------------------------------------- checkpoints
     def save_map(self, path):
