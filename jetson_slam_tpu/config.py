@@ -77,6 +77,10 @@ class SLAMConfig:
     kp_capacity_per_level: Optional[int] = None  # default: #tiles per level
     max_map_points: int = 65536
     max_keyframes: int = 1024
+    # LEFT.*/RIGHT.* stereo rectification blocks (consumed by the reference
+    # example mains, stereo_euroc.cpp:80-107); dicts of K/D/R/P numpy arrays
+    left_rect: Optional[dict] = None
+    right_rect: Optional[dict] = None
 
     @property
     def mb(self) -> float:
@@ -187,4 +191,26 @@ def config_from_dict(kv: dict) -> SLAMConfig:
     cfg.is_jetson = bool(int(g("gpu.is_jetson", 0)))
     cfg.device_id = int(g("gpu.device_id", 0))
     cfg.viewer.use_viewer = bool(int(g("Viewer.UseViewer", 0)))
+
+    # LEFT.*/RIGHT.* rectification matrices (opencv-matrix blocks)
+    import numpy as np
+
+    def _mat(side, name):
+        blk = kv.get(f"{side}.{name}")
+        if not isinstance(blk, dict) or "data" not in blk:
+            return None
+        rows = int(blk.get("rows", 1))
+        cols = int(blk.get("cols", len(blk["data"]) // max(rows, 1)))
+        return np.asarray(blk["data"], np.float64).reshape(rows, cols)
+
+    for side, attr in (("LEFT", "left_rect"), ("RIGHT", "right_rect")):
+        K = _mat(side, "K")
+        if K is None:
+            continue
+        setattr(cfg, attr, {
+            "K": K, "D": _mat(side, "D"), "R": _mat(side, "R"),
+            "P": _mat(side, "P"),
+            "height": int(kv.get(f"{side}.height", cfg.camera.height)),
+            "width": int(kv.get(f"{side}.width", cfg.camera.width)),
+        })
     return cfg

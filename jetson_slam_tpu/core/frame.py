@@ -51,21 +51,37 @@ class Frame:
         self.u_right = np.full(self.n_slots, -1.0, np.float32)
         self.depth = np.full(self.n_slots, -1.0, np.float32)
 
+        import jax
+
         if right_img is not None:
             # ONE fused device program: ORB both eyes + stereo matching
-            left, _right, u_r, dep, _ = frontend.frame_step(
+            left, _right, u_r_dev, dep_dev, _ = frontend.frame_step(
                 left_img, right_img, cam.bf, cam.bf / cam.fx)
-            self.u_right = np.asarray(u_r)
-            self.depth = np.asarray(dep)
         else:
             left = frontend.extract(left_img)
+            u_r_dev = dep_dev = None
 
-        self.valid = np.asarray(left.valid)
-        self.kp_xy_raw = np.stack([np.asarray(left.xs), np.asarray(left.ys)], axis=1)
-        self.octave = np.asarray(left.octave)
-        self.angle = np.asarray(left.angle)
-        self.response = np.asarray(left.response)
-        self.desc = np.asarray(left.desc)
+        # ONE batched device->host pull: device_get starts all D2H copies
+        # async then blocks once, so N fields cost one round-trip latency —
+        # critical when the chip sits behind a high-latency transport
+        (valid, xs, ys, octave, angle, response, desc, u_r, dep) = \
+            jax.device_get((left.valid, left.xs, left.ys, left.octave,
+                            left.angle, left.response, left.desc,
+                            u_r_dev, dep_dev))
+        # device-array cache seeded with the still-resident outputs, so
+        # matcher programs never re-upload these (see Frame.dev)
+        self._dev = {"valid": left.valid, "desc": left.desc,
+                     "octave": left.octave, "angle": left.angle}
+        if u_r_dev is not None:
+            self._dev["u_right"] = u_r_dev
+            self.u_right = u_r
+            self.depth = dep
+        self.valid = valid
+        self.kp_xy_raw = np.stack([xs, ys], axis=1)
+        self.octave = octave
+        self.angle = angle
+        self.response = response
+        self.desc = desc
         self._left_result = left
 
         if right_img is None and depth_img is not None:
@@ -93,6 +109,17 @@ class Frame:
         self.ref_kf = -1
 
     # ------------------------------------------------------------------
+    def dev(self, name: str):
+        """Device copy of an immutable per-frame array, uploaded once.
+        Only for fields that never change after construction (kp_xy, octave,
+        angle, desc, valid, u_right) — NOT map_points/outlier/pose."""
+        a = self._dev.get(name)
+        if a is None:
+            import jax.numpy as jnp
+            a = jnp.asarray(getattr(self, name))
+            self._dev[name] = a
+        return a
+
     def set_pose(self, Tcw):
         from ..utils.lie import project_so3_np
         T = np.asarray(Tcw, np.float32).copy()

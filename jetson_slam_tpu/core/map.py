@@ -50,6 +50,11 @@ class MapStore:
         self.kf_kp_valid = np.zeros((K, S), bool)
         self.kf_obs = np.full((K, S), -1, np.int32)       # slot -> point id
         self._next_kf = 0
+        # incremental observation index: pid -> {kf: slot}.  kf_obs stays the
+        # source of truth for batched reads; the index makes per-point
+        # lookups (observations_of / erase_point) O(#obs) instead of a full
+        # (K, S) scan, which dominated keyframe creation
+        self._pt_obs: dict = {}
 
     # ------------------------------------------------------------- points
     def add_point(self, pos, desc, ref_kf, normal=None, min_dist=0.0, max_dist=1.0):
@@ -78,9 +83,20 @@ class MapStore:
         raise RuntimeError("map point capacity exhausted")
 
     def add_observation(self, kf, slot, pid):
-        if self.kf_obs[kf, slot] == pid:
+        old = self.kf_obs[kf, slot]
+        if old == pid:
             return
+        if old >= 0:
+            self._pt_obs.get(int(old), {}).pop(int(kf), None)
+        # one observation per (point, keyframe), like MapPoint::mObservations
+        # being a map<KeyFrame*, idx>: displace any previous slot of pid in kf
+        obs = self._pt_obs.setdefault(int(pid), {})
+        prev_slot = obs.get(int(kf))
+        if prev_slot is not None and prev_slot != int(slot):
+            self.kf_obs[kf, prev_slot] = -1
+            self.pt_nobs[pid] -= 2 if self.kf_kp_ur[kf, prev_slot] >= 0 else 1
         self.kf_obs[kf, slot] = pid
+        obs[int(kf)] = int(slot)
         # stereo observations count twice (MapPoint::AddObservation semantics)
         self.pt_nobs[pid] += 2 if self.kf_kp_ur[kf, slot] >= 0 else 1
 
@@ -89,6 +105,7 @@ class MapStore:
         if pid < 0:
             return
         self.kf_obs[kf, slot] = -1
+        self._pt_obs.get(int(pid), {}).pop(int(kf), None)
         self.pt_nobs[pid] -= 2 if self.kf_kp_ur[kf, slot] >= 0 else 1
         # MapPoint::EraseObservation: die below 2 observations
         if self.pt_nobs[pid] <= 2 and self.pt_alive[pid]:
@@ -96,25 +113,39 @@ class MapStore:
 
     def erase_point(self, pid):
         self.pt_alive[pid] = False
-        mask = self.kf_obs == pid
-        self.kf_obs[mask] = -1
+        for k, s in self._pt_obs.pop(int(pid), {}).items():
+            self.kf_obs[k, s] = -1
 
     def observations_of(self, pid):
         """Returns (kf_ids, slots) observing pid."""
-        kfs, slots = np.nonzero(self.kf_obs == pid)
-        return kfs, slots
+        obs = self._pt_obs.get(int(pid), {})
+        if not obs:
+            return (np.array([], np.int64), np.array([], np.int64))
+        kfs = np.fromiter(obs.keys(), np.int64, len(obs))
+        slots = np.fromiter(obs.values(), np.int64, len(obs))
+        order = np.argsort(kfs)
+        return kfs[order], slots[order]
+
+    def rebuild_obs_index(self):
+        """Recompute the pid->{kf: slot} index from kf_obs (checkpoint load)."""
+        self._pt_obs = {}
+        for k, s in zip(*np.nonzero(self.kf_obs >= 0)):
+            self._pt_obs.setdefault(int(self.kf_obs[k, s]), {})[int(k)] = int(s)
 
     def replace_point(self, old, new):
         """MapPoint::Replace — forward observations, merge counters."""
         if old == new:
             return
         kfs, slots = self.observations_of(old)
+        new_obs = self._pt_obs.setdefault(int(new), {})
         for k, s in zip(kfs, slots):
-            if new not in self.kf_obs[k]:
+            if int(k) not in new_obs:
                 self.kf_obs[k, s] = new
+                new_obs[int(k)] = int(s)
                 self.pt_nobs[new] += 2 if self.kf_kp_ur[k, s] >= 0 else 1
             else:
                 self.kf_obs[k, s] = -1
+        self._pt_obs.pop(int(old), None)
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_found[new] += self.pt_found[old]
         self.pt_alive[old] = False
@@ -134,6 +165,23 @@ class MapStore:
         dist = bits.sum(-1)  # (M, M)
         medians = np.median(dist, axis=1)
         self.pt_desc[pid] = descs[int(np.argmin(medians))]
+
+    def init_point_single_obs(self, pid, kid, slot, scale_factors, n_levels):
+        """O(1) fast path for a just-created point with exactly ONE observing
+        keyframe: equivalent to compute_distinctive_descriptor (the single
+        descriptor wins) + update_normal_and_depth, without observations_of's
+        full (K, S) table scan — that scan made keyframe creation O(points x
+        K x S)."""
+        pos = self.pt_pos[pid]
+        center = self.camera_center(kid)
+        n = pos - center
+        d = float(np.linalg.norm(n))
+        self.pt_normal[pid] = n / max(d, 1e-9)
+        level = int(self.kf_kp_octave[kid, slot])
+        self.pt_max_dist[pid] = d * scale_factors[level]
+        self.pt_min_dist[pid] = self.pt_max_dist[pid] / scale_factors[n_levels - 1]
+        self.pt_desc[pid] = self.kf_desc[kid, slot]
+        self.pt_ref_kf[pid] = kid
 
     def update_normal_and_depth(self, pid, scale_factors, n_levels):
         """MapPoint::UpdateNormalAndDepth."""
@@ -183,7 +231,12 @@ class MapStore:
         for slot in np.flatnonzero(self.kf_obs[kid] >= 0):
             pid = self.kf_obs[kid, slot]
             if self.pt_alive[pid]:
+                obs = self._pt_obs.setdefault(int(pid), {})
+                if int(kid) in obs:  # duplicate slot for pid in this KF: drop
+                    self.kf_obs[kid, slot] = -1
+                    continue
                 self.pt_nobs[pid] += 2 if self.kf_kp_ur[kid, slot] >= 0 else 1
+                obs[int(kid)] = int(slot)
             else:
                 self.kf_obs[kid, slot] = -1
         return kid

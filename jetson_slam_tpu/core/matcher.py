@@ -204,6 +204,102 @@ def search_by_projection_points(
     return out
 
 
+@partial(jax.jit, static_argnames=("n_levels", "forward", "backward"))
+def motion_model_track(
+    Rcw, tcw,
+    last_pw, last_has_pt, last_real,
+    last_octave, last_angle, last_desc, last_ur,
+    cur_xy, cur_octave, cur_angle, cur_desc, cur_valid, cur_ur,
+    th, scale_factors, inv_level_sigma2, n_levels: int,
+    fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y,
+    forward: bool, backward: bool,
+):
+    """Fused Tracking::TrackWithMotionModel device step: projection search
+    (including the reference's <20-matches retry at 2*th,
+    Tracking.cpp:1060-1066) + motion-only PoseOptimization, so the whole
+    motion-model track costs ONE device round-trip instead of three.
+
+    last_real marks last slots whose point is a real alive map point (temp
+    VO points count for the optimization but not for the inlier tally,
+    Tracking.cpp:1098-1113 counts mvpMapPoints inliers).
+    Returns (match_slot, n_match, Rcw', tcw', inlier, n_map).
+    """
+    from .optimizer import _pose_optimization
+
+    last_is_stereo = last_ur >= 0
+
+    def search(thv):
+        out, _ = search_by_projection_last(
+            Rcw, tcw, last_pw, last_has_pt, last_octave, last_angle,
+            last_desc, last_is_stereo, cur_xy, cur_octave, cur_angle,
+            cur_desc, cur_valid, cur_ur, thv, scale_factors, n_levels,
+            fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y,
+            forward, backward)
+        return out
+
+    m1 = search(th)
+    n1 = jnp.sum(m1 >= 0)
+    m = jax.lax.cond(n1 < 20, lambda: search(2.0 * th), lambda: m1)
+    n_match = jnp.sum(m >= 0)
+
+    has_m = m >= 0
+    midx = jnp.where(has_m, m, 0)
+    pts = jnp.take(last_pw, midx, axis=0)
+    has_real = has_m & jnp.take(last_real, midx)
+    inv_s2 = jnp.take(jnp.asarray(inv_level_sigma2, jnp.float32), cur_octave)
+    with jax.default_matmul_precision("highest"):
+        R, t, inlier, _ = _pose_optimization(
+            Rcw, tcw, pts, cur_xy, cur_ur, inv_s2, has_m,
+            fx, fy, cx, cy, bf)
+    n_map = jnp.sum((inlier & has_real).astype(jnp.int32))
+    return m, n_match, R, t, inlier, n_map
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def local_map_track(
+    cand_pos, cand_normal, cand_maxd, cand_mind, cand_desc, cand_alive,
+    Rcw, tcw, Ow,
+    cur_xy, cur_octave, cur_desc, cur_valid, cur_ur, cur_free,
+    exist_pts, exist_has, exist_real,
+    th, scale_factors, inv_level_sigma2, n_levels: int,
+    fx, fy, cx, cy, bf, min_x, max_x, min_y, max_y, log_scale,
+):
+    """Fused Tracking::TrackLocalMap device step: batched frustum culling
+    (isInFrustum_GPU semantics) + SearchByProjection(local map) + motion-only
+    PoseOptimization — ONE device round-trip instead of three.
+
+    exist_pts/exist_has/exist_real describe the frame's pre-existing
+    associations (motion-model matches + temp VO points); newly selected
+    candidates (all real map points) override their slots.
+    Returns (ok, sel, Rcw', tcw', inlier, n_map).
+    """
+    from .optimizer import _pose_optimization
+
+    ok, u, v, invz, lvl, vcos = frustum_check(
+        cand_pos, cand_normal, cand_maxd, cand_mind, Rcw, tcw, Ow,
+        fx, fy, cx, cy, min_x, max_x, min_y, max_y,
+        n_levels, log_scale, 0.5, cand_alive)
+    ur_proj = u - bf * invz
+    sel = search_by_projection_points(
+        u, v, ur_proj, lvl, vcos, ok, cand_desc,
+        cur_xy, cur_octave, cur_desc, cur_valid, cur_ur, cur_free,
+        th, scale_factors, n_levels)
+
+    has_sel = sel >= 0
+    sidx = jnp.where(has_sel, sel, 0)
+    pts = jnp.where(has_sel[:, None], jnp.take(cand_pos, sidx, axis=0),
+                    exist_pts)
+    has_any = exist_has | has_sel
+    has_real = exist_real | has_sel
+    inv_s2 = jnp.take(jnp.asarray(inv_level_sigma2, jnp.float32), cur_octave)
+    with jax.default_matmul_precision("highest"):
+        R, t, inlier, _ = _pose_optimization(
+            Rcw, tcw, pts, cur_xy, cur_ur, inv_s2, has_any,
+            fx, fy, cx, cy, bf)
+    n_map = jnp.sum((inlier & has_real).astype(jnp.int32))
+    return ok, sel, R, t, inlier, n_map
+
+
 @jax.jit
 def match_brute_force(desc_a, valid_a, angle_a, desc_b, valid_b, angle_b,
                       check_rotation=True, nn_ratio=0.7):

@@ -167,10 +167,8 @@ class Tracker:
             pid = self.map.add_point(pos, frame.desc[slot], kid)
             self.map.add_observation(kid, slot, pid)
             frame.map_points[slot] = pid
-        for slot in slots:
-            pid = frame.map_points[slot]
-            self.map.compute_distinctive_descriptor(pid)
-            self.map.update_normal_and_depth(pid, self.scale_factors, self.n_levels)
+            self.map.init_point_single_obs(pid, kid, slot,
+                                           self.scale_factors, self.n_levels)
         self.ref_kf = kid
         self.last_kf_frame_id = frame.frame_id
         self.state = TrackingState.OK
@@ -287,17 +285,36 @@ class Tracker:
             has_pt |= self._last_temp_flag
             pw[self._last_temp_flag] = self._last_temp_world[self._last_temp_flag]
 
+        last_real = alive
         th = 7.0 if self.sensor in ("stereo", "rgbd") else 15.0
-        match_slot = self._project_last(frame, pw, has_pt, th)
-        n = int((match_slot >= 0).sum())
-        if n < 20:
-            match_slot = self._project_last(frame, pw, has_pt, 2 * th)
-            n = int((match_slot >= 0).sum())
+        tlc = (frame.Tcw @ lf.Twc)[:3, 3]
+        mb = self.cam.bf / self.cam.fx
+        forward = tlc[2] > mb and self.sensor != "mono"
+        backward = -tlc[2] > mb and self.sensor != "mono"
+        import jax
+        res = matcher.motion_model_track(
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            jnp.asarray(pw), jnp.asarray(has_pt), jnp.asarray(last_real),
+            lf.dev("octave"), lf.dev("angle"),
+            lf.dev("desc"), lf.dev("u_right"),
+            frame.dev("kp_xy"), frame.dev("octave"),
+            frame.dev("angle"), frame.dev("desc"),
+            frame.dev("valid"), frame.dev("u_right"),
+            float(th), self.scale_factors, self.inv_level_sigma2,
+            self.n_levels,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
+            mb, self.min_x, self.max_x, self.min_y, self.max_y,
+            bool(forward), bool(backward))
+        match_slot, n, R, t, inlier, n_map = jax.device_get(res)  # ONE pull
         if n < 20:
             return False
         self._apply_last_matches(frame, match_slot)
-        n_map = self._optimize_pose(frame)
-        return n_map >= 10
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        frame.set_pose(T)
+        frame.outlier = (match_slot >= 0) & ~inlier
+        return int(n_map) >= 10
 
     def _project_last(self, frame, pw, has_pt, th):
         lf = self.last_frame
@@ -349,16 +366,17 @@ class Tracker:
         if has_any.sum() < 3:
             return 0
         inv_s2 = self.inv_level_sigma2[frame.octave]
+        import jax
         R, t, inlier, _ = pose_optimization(
             jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw), jnp.asarray(pts),
-            jnp.asarray(frame.kp_xy), jnp.asarray(frame.u_right),
+            frame.dev("kp_xy"), frame.dev("u_right"),
             jnp.asarray(inv_s2), jnp.asarray(has_any),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf)
+        R, t, inlier = jax.device_get((R, t, inlier))  # one batched pull
         T = np.eye(4, dtype=np.float32)
-        T[:3, :3] = np.asarray(R)
-        T[:3, 3] = np.asarray(t)
+        T[:3, :3] = R
+        T[:3, 3] = t
         frame.set_pose(T)
-        inlier = np.asarray(inlier)
         frame.outlier = has_any & ~inlier
         return int((inlier & has_real).sum())
 
@@ -370,8 +388,8 @@ class Tracker:
         kid = self.ref_kf
         m = self.map
         match, _ = matcher.match_brute_force(
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.asarray(frame.angle),
+            frame.dev("desc"), frame.dev("valid"),
+            frame.dev("angle"),
             jnp.asarray(m.kf_desc[kid]),
             jnp.asarray(m.kf_kp_valid[kid] & (m.kf_obs[kid] >= 0)),
             jnp.asarray(m.kf_kp_angle[kid]), nn_ratio=0.7)
@@ -438,40 +456,48 @@ class Tracker:
         in_frame[cur_pids] = True
         m.pt_visible[cur_pids] += 1
         cand = pids[~in_frame[pids]]
+        frame.temp_flag = np.zeros(frame.n_slots, bool)  # temp VO pts drop here
         if len(cand):
+            import jax
             cap = 1 << max(int(np.ceil(np.log2(max(len(cand), 128)))), 7)
             pad = cap - len(cand)
             idx = np.concatenate([cand, np.zeros(pad, np.int64)])
             alive = np.concatenate([np.ones(len(cand), bool), np.zeros(pad, bool)])
-            ok, u, v, invz, lvl, vcos = matcher.frustum_check(
-                jnp.asarray(m.pt_pos[idx]), jnp.asarray(m.pt_normal[idx]),
-                jnp.asarray(m.pt_max_dist[idx]), jnp.asarray(m.pt_min_dist[idx]),
-                jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
-                jnp.asarray(frame.camera_center),
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                self.min_x, self.max_x, self.min_y, self.max_y,
-                self.n_levels, self.log_scale, 0.5, jnp.asarray(alive))
-            ok = np.asarray(ok)
+            exist_has = frame.map_points >= 0
+            exist_pts = np.zeros((frame.n_slots, 3), np.float32)
+            exist_pts[exist_has] = m.pt_pos[frame.map_points[exist_has]]
+            th = 5.0 if frame.frame_id < self.last_reloc_frame_id + 2 else 1.0
+            # ONE fused device program: frustum + projection search + pose
+            # optimization, one batched pull
+            ok, sel, R, t, inlier, n_map = jax.device_get(
+                matcher.local_map_track(
+                    jnp.asarray(m.pt_pos[idx]), jnp.asarray(m.pt_normal[idx]),
+                    jnp.asarray(m.pt_max_dist[idx]),
+                    jnp.asarray(m.pt_min_dist[idx]),
+                    jnp.asarray(m.pt_desc[idx]), jnp.asarray(alive),
+                    jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+                    jnp.asarray(frame.camera_center),
+                    frame.dev("kp_xy"), frame.dev("octave"),
+                    frame.dev("desc"), frame.dev("valid"),
+                    frame.dev("u_right"), jnp.asarray(~exist_has),
+                    jnp.asarray(exist_pts), jnp.asarray(exist_has),
+                    jnp.asarray(exist_has),
+                    float(th), self.scale_factors, self.inv_level_sigma2,
+                    self.n_levels,
+                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                    self.cam.bf, self.min_x, self.max_x, self.min_y,
+                    self.max_y, self.log_scale))
             m.pt_visible[idx[ok]] += 1
-            if ok.sum() > 0:
-                th = 1.0
-                if frame.frame_id < self.last_reloc_frame_id + 2:
-                    th = 5.0
-                ur_proj = np.asarray(u) - self.cam.bf * np.asarray(invz)
-                free = frame.map_points < 0
-                sel = matcher.search_by_projection_points(
-                    u, v, jnp.asarray(ur_proj), lvl, vcos, jnp.asarray(ok),
-                    jnp.asarray(m.pt_desc[idx]),
-                    jnp.asarray(frame.kp_xy), jnp.asarray(frame.octave),
-                    jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                    jnp.asarray(frame.u_right), jnp.asarray(free),
-                    th, self.scale_factors, self.n_levels)
-                sel = np.asarray(sel)
-                cur = np.flatnonzero(sel >= 0)
-                frame.map_points[cur] = idx[sel[cur]]
-
-        frame.temp_flag = np.zeros(frame.n_slots, bool)  # temp VO pts drop here
-        n_map = self._optimize_pose(frame)
+            cur = np.flatnonzero(sel >= 0)
+            frame.map_points[cur] = idx[sel[cur]]
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = t
+            frame.set_pose(T)
+            frame.outlier = (frame.map_points >= 0) & ~inlier
+            n_map = int(n_map)
+        else:
+            n_map = self._optimize_pose(frame)
         # bookkeeping: found counts for inlier observations
         has = (frame.map_points >= 0) & ~frame.outlier
         m.pt_found[frame.map_points[has]] += 1
@@ -552,8 +578,8 @@ class Tracker:
                     m.add_observation(kid, slot, pid)
                     m.kf_obs[kid, slot] = pid
                     frame.map_points[slot] = pid
-                    m.compute_distinctive_descriptor(pid)
-                    m.update_normal_and_depth(pid, self.scale_factors, self.n_levels)
+                    m.init_point_single_obs(pid, kid, slot,
+                                            self.scale_factors, self.n_levels)
                 n_points += 1
                 if depth[slot] > self.th_depth and n_points > 100:
                     break

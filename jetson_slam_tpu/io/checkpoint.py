@@ -43,4 +43,5 @@ def load_map(path: str) -> MapStore:
         m._next_kf = int(scalars[4])
         for name in _ARRAYS:
             setattr(m, name, data[name].copy())
+    m.rebuild_obs_index()
     return m

@@ -71,6 +71,37 @@ def load_tum_rgbd(seq_dir: str, association_file: str):
     return entries
 
 
+def load_tum_mono(seq_dir: str):
+    """TUM monocular: rgb.txt listing `t filename` (mono_tum.cpp LoadImages)."""
+    entries = []
+    with open(os.path.join(seq_dir, "rgb.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t, name = line.split()[:2]
+            entries.append((float(t), os.path.join(seq_dir, name)))
+    return entries
+
+
+def load_kitti_mono(seq_dir: str):
+    """KITTI monocular: image_0/ + times.txt (mono_kitti.cpp)."""
+    with open(os.path.join(seq_dir, "times.txt")) as f:
+        times = [float(x) for x in f.read().split()]
+    return [(t, os.path.join(seq_dir, "image_0", f"{i:06d}.png"))
+            for i, t in enumerate(times)]
+
+
+def load_euroc_mono(seq_dir: str):
+    """EuRoC monocular: cam0 only (mono_euroc.cpp)."""
+    cam0 = os.path.join(seq_dir, "mav0", "cam0", "data")
+    entries = []
+    for lp in sorted(glob.glob(os.path.join(cam0, "*.png"))):
+        ns = os.path.splitext(os.path.basename(lp))[0]
+        entries.append((int(ns) * 1e-9, lp))
+    return entries
+
+
 def imread_gray(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path)
