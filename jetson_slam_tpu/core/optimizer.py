@@ -26,10 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.lie import exp_se3, se3_compose
+from ..utils.lie import exp_se3, exp_sim3, se3_compose, sim3_compose
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
+CHI2_SIM3 = 10.0   # Optimizer::OptimizeSim3 deltaHuber^2 (Optimizer.cpp:1100)
 LM_TAU = 1e-5
 
 
@@ -161,3 +162,110 @@ def _pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
 
     n_inliers = jnp.sum(inlier.astype(jnp.int32))
     return R_out, t_out, inlier, n_inliers
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
+def sim3_optimization(P1, P2, obs1, obs2, inv_s2_1, inv_s2_2, valid,
+                      s0, R0, t0, fx, fy, cx, cy, fix_scale: bool = True):
+    """Sim3 refinement between two keyframes (Optimizer::OptimizeSim3,
+    Optimizer.cpp:1051-1248).
+
+    P1/P2: (N, 3) matched point positions in KF1/KF2 camera frames.
+    obs1/obs2: (N, 2) their pixel observations in KF1/KF2.
+    (s0, R0, t0): initial Sim3 S12 mapping KF2 camera coords into KF1's.
+    Bidirectional reprojection residuals with Huber(sqrt(10)); after the
+    first solve, edges with chi2 > 10 in either direction are dropped and
+    the remainder re-solved (the reference's nBad loop + 10 extra its).
+    Returns (s, R, t, inlier, n_inliers).
+    """
+    with jax.default_matmul_precision("highest"):
+        def params_of(xi, s, R, t):
+            ds, dR, dt = exp_sim3(xi)
+            return sim3_compose(ds, dR, dt, s, R, t)
+
+        def residuals(xi, s, R, t):
+            sn, Rn, tn = params_of(xi, s, R, t)
+
+            def proj(p):
+                z = jnp.maximum(p[2], 1e-6)
+                return jnp.stack([fx * p[0] / z + cx, fy * p[1] / z + cy])
+
+            def one(p1, p2, o1, o2):
+                q1 = sn * (Rn @ p2) + tn                  # KF2 -> KF1 cam
+                q2 = (Rn.T @ (p1 - tn)) / sn              # KF1 -> KF2 cam
+                return jnp.concatenate([proj(q1) - o1, proj(q2) - o2])
+
+            return jax.vmap(one)(P1, P2, obs1, obs2)      # (N, 4)
+
+        jacfn = jax.jacfwd(residuals)
+        zero = jnp.zeros(7, jnp.float32)
+
+        def chi2_dir(r):
+            e1 = jnp.sum(r[:, :2] ** 2, axis=1) * inv_s2_1
+            e2 = jnp.sum(r[:, 2:] ** 2, axis=1) * inv_s2_2
+            return e1, e2
+
+        def lm(s, R, t, active, n_iters):
+            w4 = jnp.stack([inv_s2_1, inv_s2_1, inv_s2_2, inv_s2_2], axis=1)
+
+            def cost(sa, Ra, ta):
+                r = residuals(zero, sa, Ra, ta)
+                e1, e2 = chi2_dir(r)
+
+                def huber(c):
+                    rt = jnp.sqrt(jnp.maximum(c, 1e-12))
+                    d = jnp.sqrt(CHI2_SIM3)
+                    return jnp.where(c <= CHI2_SIM3, c, 2 * d * rt - CHI2_SIM3)
+
+                return jnp.sum(jnp.where(active, huber(e1) + huber(e2), 0.0))
+
+            def build(sa, Ra, ta):
+                r = residuals(zero, sa, Ra, ta)
+                J = jacfn(zero, sa, Ra, ta)               # (N, 4, 7)
+                e1, e2 = chi2_dir(r)
+
+                def wgt(c):
+                    return jnp.where(
+                        c <= CHI2_SIM3, 1.0,
+                        jnp.sqrt(CHI2_SIM3) / jnp.sqrt(jnp.maximum(c, 1e-12)))
+
+                wh = jnp.stack([wgt(e1), wgt(e1), wgt(e2), wgt(e2)], axis=1)
+                w = w4 * wh * active[:, None]
+                H = jnp.einsum("nij,nik->jk", J * w[:, :, None], J)
+                g = jnp.einsum("nij,ni->j", J * w[:, :, None], r)
+                if fix_scale:  # lock the log-scale coordinate
+                    H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+                    g = g.at[6].set(0.0)
+                return H, g
+
+            def body(_, st):
+                sa, Ra, ta, lam, nu = st
+                H, g = build(sa, Ra, ta)
+                dx = jnp.linalg.solve(
+                    H + lam * jnp.eye(7, dtype=H.dtype), -g)
+                sn, Rn, tn = params_of(dx, sa, Ra, ta)
+                f0 = cost(sa, Ra, ta)
+                f1 = cost(sn, Rn, tn)
+                ok = (f1 < f0) & jnp.all(jnp.isfinite(dx))
+                sa = jnp.where(ok, sn, sa)
+                Ra = jnp.where(ok, Rn, Ra)
+                ta = jnp.where(ok, tn, ta)
+                lam = jnp.where(ok, lam / 3.0, lam * nu)
+                nu = jnp.where(ok, 2.0, nu * 2.0)
+                return sa, Ra, ta, lam, nu
+
+            H0, _ = build(s, R, t)
+            lam0 = LM_TAU * jnp.max(jnp.diag(H0))
+            sa, Ra, ta, _, _ = jax.lax.fori_loop(
+                0, n_iters, body, (s, R, t, lam0, 2.0))
+            return sa, Ra, ta
+
+        s, R, t = lm(s0, R0, t0, valid, 5)
+        r = residuals(zero, s, R, t)
+        e1, e2 = chi2_dir(r)
+        inlier = valid & (e1 <= CHI2_SIM3) & (e2 <= CHI2_SIM3)
+        s, R, t = lm(s, R, t, inlier, 10)
+        r = residuals(zero, s, R, t)
+        e1, e2 = chi2_dir(r)
+        inlier = valid & (e1 <= CHI2_SIM3) & (e2 <= CHI2_SIM3)
+        return s, R, t, inlier, jnp.sum(inlier.astype(jnp.int32))

@@ -124,6 +124,17 @@ class SlamSystem:
             return np.array([], np.int64)
         return f.map_points[f.map_points >= 0]
 
+    def change_calibration(self, fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0,
+                           p2=0.0, k3=0.0, bf=None):
+        """Tracking::ChangeCalibration (Tracking.cpp:2165): swap camera
+        intrinsics mid-run (live rigs); takes effect from the next frame."""
+        cam = self.config.camera
+        cam.fx, cam.fy, cam.cx, cam.cy = fx, fy, cx, cy
+        cam.k1, cam.k2, cam.p1, cam.p2, cam.k3 = k1, k2, p1, p2, k3
+        if bf is not None:
+            cam.bf = bf
+        self.tracker.th_depth = cam.th_depth * cam.bf / cam.fx
+
     def reset(self):
         """System::Reset -> Tracking::Reset (Tracking.cpp:2117)."""
         was_async = self.pipeline is not None

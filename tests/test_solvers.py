@@ -149,3 +149,47 @@ def test_mono_initializer_two_views(rng):
     t_gt = t21 / np.linalg.norm(t21)
     assert np.dot(t_dir, t_gt) > 0.99, (t_dir, t_gt)
     np.testing.assert_allclose(R, R21, atol=0.02)
+
+
+def test_sim3_optimization_refines_noisy_ransac_estimate():
+    """sim3_optimization (Optimizer::OptimizeSim3 parity): starting from a
+    perturbed Sim3, the bidirectional-reprojection LM recovers the true
+    transform and flags gross outliers."""
+    import jax.numpy as jnp
+    from jetson_slam_tpu.core.optimizer import sim3_optimization
+    from jetson_slam_tpu.utils.lie import exp_so3
+
+    rng = np.random.default_rng(4)
+    N = 60
+    fx = fy = 320.0
+    cx, cy = 160.0, 120.0
+    # true S12: scale 1 (stereo), modest rotation + translation
+    w = np.array([0.03, -0.05, 0.02], np.float32)
+    R12 = np.asarray(exp_so3(jnp.asarray(w)))
+    t12 = np.array([0.3, -0.1, 0.2], np.float32)
+    P2 = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                   rng.uniform(4, 10, N)], 1).astype(np.float32)
+    P1 = P2 @ R12.T + t12
+
+    def proj(P):
+        return np.stack([fx * P[:, 0] / P[:, 2] + cx,
+                         fy * P[:, 1] / P[:, 2] + cy], 1).astype(np.float32)
+
+    obs1 = proj(P1)
+    obs2 = proj(P2)
+    # corrupt 6 observations
+    obs1[:6] += 40.0
+    # perturbed start
+    R0 = np.asarray(exp_so3(jnp.asarray(w + 0.02)))
+    t0 = t12 + np.array([0.05, 0.02, -0.04], np.float32)
+    inv = np.ones(N, np.float32)
+    s, R, t, inlier, n = sim3_optimization(
+        jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(obs1),
+        jnp.asarray(obs2), jnp.asarray(inv), jnp.asarray(inv),
+        jnp.asarray(np.ones(N, bool)), jnp.float32(1.0),
+        jnp.asarray(R0), jnp.asarray(t0), fx, fy, cx, cy, fix_scale=True)
+    assert float(s) == 1.0
+    assert int(n) >= N - 6
+    assert not np.asarray(inlier)[:6].any()
+    assert np.abs(np.asarray(R) - R12).max() < 1e-3
+    assert np.abs(np.asarray(t) - t12).max() < 5e-3
