@@ -641,6 +641,30 @@ class OrbFrontend:
             rel_l=T["rel_stereo_l"], rel_r=T["rel_stereo_r"])
         return take0, take1, u_r, depth, best_dist
 
+    def _frame_steps_impl(self, T, lefts_u8, rights_u8, mbf, min_z):
+        """Batched stereo frames: (B, H, W) each eye -> per-frame results.
+
+        All 2B eyes ride ONE extraction program (the batch axis is the
+        natural data-parallel mesh axis: shard lefts/rights with a
+        NamedSharding over 'data' and XLA partitions the whole pipeline —
+        per-frame work is independent); stereo matching is vmapped over the
+        frame axis."""
+        from .stereo import stereo_match_core
+        B = lefts_u8.shape[0]
+        res, raw = self._extract_batch_core(
+            T, jnp.concatenate([lefts_u8, rights_u8], axis=0))
+        L = jax.tree_util.tree_map(lambda a: a[:B], res)
+        R = jax.tree_util.tree_map(lambda a: a[B:], res)
+
+        def one(l, r, rawl, rawr):
+            return stereo_match_core(
+                l, r, rawl, rawr, T["widths"], T["scales"], T["inv_scales"],
+                mbf, min_z, self.geom.n_levels,
+                rel_l=T["rel_stereo_l"], rel_r=T["rel_stereo_r"])
+
+        u_r, depth, dist = jax.vmap(one)(L, R, raw[:B], raw[B:])
+        return L, R, u_r, depth, dist
+
     def extract(self, img_u8) -> FrontendResult:
         """img_u8: (H, W) uint8 array (numpy or jax)."""
         return _extract_jit(self, self._tables, jnp.asarray(img_u8))
@@ -651,6 +675,15 @@ class OrbFrontend:
                                jnp.asarray(right_u8), jnp.float32(mbf),
                                jnp.float32(min_z))
 
+    def frame_step_batch(self, lefts_u8, rights_u8, mbf: float, min_z: float):
+        """Batched fused stereo frames (data-parallel axis = frame batch).
+
+        Shard the inputs over a mesh ('data' axis) to scale the front-end
+        across chips; on one chip the batch amortizes dispatch overhead."""
+        return _frame_steps_jit(self, self._tables, jnp.asarray(lefts_u8),
+                                jnp.asarray(rights_u8), jnp.float32(mbf),
+                                jnp.float32(min_z))
+
 
 @partial(jax.jit, static_argnums=0)
 def _extract_jit(fe: "OrbFrontend", T, img_u8):
@@ -660,3 +693,8 @@ def _extract_jit(fe: "OrbFrontend", T, img_u8):
 @partial(jax.jit, static_argnums=0)
 def _frame_step_jit(fe: "OrbFrontend", T, left_u8, right_u8, mbf, min_z):
     return fe._frame_step_impl(T, left_u8, right_u8, mbf, min_z)
+
+
+@partial(jax.jit, static_argnums=0)
+def _frame_steps_jit(fe: "OrbFrontend", T, lefts_u8, rights_u8, mbf, min_z):
+    return fe._frame_steps_impl(T, lefts_u8, rights_u8, mbf, min_z)
