@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Distributed-BA scaling benchmark (BASELINE.json north star: >= 70%
+scaling efficiency at N >= 2 devices).
+
+Builds a synthetic BA problem (C cameras, P landmarks, stereo edges), runs
+the landmark-sharded Schur-complement LM step (parallel/dist_ba.py) on
+1..N devices of whatever platform JAX selects, and prints per-N wall time
+plus efficiency vs the 1-device run scaled by N.
+
+On a single-chip session this still exercises the full sharded program; run
+it on a multi-chip slice (or a CPU host with
+XLA_FLAGS=--xla_force_host_platform_device_count=8 for a logic-only check)
+to measure real scaling.
+
+Usage: python examples/bench_dist_ba.py [--points 16384] [--cams 64] [--iters 6]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_problem(rng, n_cams, n_pts, fx, fy, cx, cy, bf, obs_per_pt=4):
+    pts = np.stack([rng.uniform(-8, 8, n_pts), rng.uniform(-6, 6, n_pts),
+                    rng.uniform(6, 20, n_pts)], 1).astype(np.float32)
+    Rs = np.tile(np.eye(3, dtype=np.float32), (n_cams, 1, 1))
+    ts = np.zeros((n_cams, 3), np.float32)
+    ts[:, 0] = 0.15 * np.arange(n_cams)
+    e_cam, e_pt, obs = [], [], []
+    for p in range(n_pts):
+        cams = rng.choice(n_cams, size=min(obs_per_pt, n_cams), replace=False)
+        for c in cams:
+            pc = pts[p].copy()
+            pc[0] -= ts[c, 0]
+            u = fx * pc[0] / pc[2] + cx + rng.normal(0, 0.3)
+            v = fy * pc[1] / pc[2] + cy + rng.normal(0, 0.3)
+            e_cam.append(c)
+            e_pt.append(p)
+            obs.append([u, v, u - bf / pc[2]])
+    return (pts, Rs, ts, np.array(e_cam, np.int32), np.array(e_pt, np.int32),
+            np.array(obs, np.float32))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=16384)
+    ap.add_argument("--cams", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--reps", type=int, default=5)
+    ns = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from jetson_slam_tpu.parallel.dist_ba import make_dist_ba, partition_problem
+
+    FX = FY = 320.0
+    CX, CY, BF = 160.0, 120.0, 40.0
+    rng = np.random.default_rng(0)
+    pts, Rs, ts, e_cam, e_pt, obs = build_problem(
+        rng, ns.cams, ns.points, FX, FY, CX, CY, BF)
+    stereo = np.ones(len(e_cam), bool)
+    fixed = np.zeros(ns.cams, np.float32)
+    fixed[0] = 1.0
+    print(f"problem: {ns.cams} cams, {ns.points} pts, {len(e_cam)} edges")
+
+    devices = jax.devices()
+    sizes = sorted({1, 2, 4, 8, len(devices)})
+    t1 = None
+    for n in sizes:
+        if n > len(devices):
+            continue
+        mesh = Mesh(np.array(devices[:n]), ("data",))
+        parts = partition_problem(
+            n, pts, e_cam, e_pt, obs, stereo,
+            np.ones(len(e_cam), np.float32), np.ones(len(e_cam), bool))
+        (pts_p, e_cam_p, e_ptl_p, obs_p, comp_p, delta2_p, inv_s2_p,
+         valid_p, pt_edges_p, per_pts, per_e) = parts
+        step = make_dist_ba(mesh, n_iters=ns.iters)
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        put_s = lambda x: jax.device_put(jnp.asarray(x), shard)
+        put_r = lambda x: jax.device_put(jnp.asarray(x), repl)
+        args = (put_r(Rs), put_r(ts), put_r(fixed), put_s(pts_p),
+                put_s(e_cam_p), put_s(e_ptl_p), put_s(obs_p), put_s(comp_p),
+                put_s(delta2_p), put_s(inv_s2_p), put_s(valid_p),
+                put_s(pt_edges_p), FX, FY, CX, CY, BF)
+        out = step(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(ns.reps):
+            out = step(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / ns.reps
+        eff = (t1 / (dt * n)) if t1 is not None else 1.0
+        if t1 is None:
+            t1 = dt
+        print(f"N={n}: {dt*1e3:8.1f} ms/step   efficiency vs 1-dev: {eff*100:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
