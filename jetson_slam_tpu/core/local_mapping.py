@@ -30,12 +30,17 @@ from .triangulation import epipolar_match, fundamental_matrix, triangulate_pairs
 
 class LocalMapper:
     def __init__(self, map_store: MapStore, cam, geom, sensor="stereo",
-                 run_ba=True):
+                 run_ba=True, device=None):
         self.map = map_store
         self.cam = cam
         self.geom = geom
         self.sensor = sensor
         self.run_ba = run_ba
+        # optional stage-pipeline device: run mapping's device programs
+        # (triangulation, fuse matching, local BA) on a DIFFERENT chip than
+        # the tracker's, the multi-chip analog of the reference's
+        # LocalMapping thread (System.cpp:98-99)
+        self.device = device
         self.queue: list[int] = []
         self._busy = 0
         self.recent_points: list[tuple[int, int]] = []  # (pid, birth_kf)
@@ -82,16 +87,25 @@ class LocalMapper:
             done.append(kid)
         return done
 
+    def device_ctx(self):
+        """Context placing this mapper's device programs on its chip."""
+        if self.device is None:
+            import contextlib
+            return contextlib.nullcontext()
+        import jax
+        return jax.default_device(self.device)
+
     def process_keyframe(self, kid: int):
-        self._register_new_points(kid)
-        self.cull_map_points(kid)
-        self.create_new_map_points(kid)
-        if not self.queue:
-            self.search_in_neighbors(kid)
-            self._abort_ba = False
-            if self.run_ba and self.map.n_keyframes() > 2:
-                self.local_bundle_adjustment(kid)
-            self.cull_keyframes(kid)
+        with self.device_ctx():
+            self._register_new_points(kid)
+            self.cull_map_points(kid)
+            self.create_new_map_points(kid)
+            if not self.queue:
+                self.search_in_neighbors(kid)
+                self._abort_ba = False
+                if self.run_ba and self.map.n_keyframes() > 2:
+                    self.local_bundle_adjustment(kid)
+                self.cull_keyframes(kid)
 
     def _register_new_points(self, kid):
         obs = self.map.kf_obs[kid]

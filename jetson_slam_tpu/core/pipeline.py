@@ -80,25 +80,29 @@ class AsyncMappingPipeline:
                 m.queue = self._queue
             try:
                 # per-stage lock scope: the tracker can interleave between
-                # stages, like the reference's finer-grained mutexes
-                with self.lock:
-                    m._register_new_points(kid)
-                    m.cull_map_points(kid)
-                with self.lock:
-                    m.create_new_map_points(kid)
-                with self.lock:
-                    if not self._queue:
-                        m.search_in_neighbors(kid)
-                with self.lock:
-                    if not self._queue:
-                        m._abort_ba = False
-                        if m.run_ba and m.map.n_keyframes() > 2:
-                            m.local_bundle_adjustment(kid)
-                        m.cull_keyframes(kid)
-                if self.loop_closer is not None:
+                # stages, like the reference's finer-grained mutexes.  All
+                # mapping device programs run on the mapper's chip when a
+                # stage-pipeline device is set (multi-chip: tracking on chip
+                # 0 overlaps mapping/BA on chip 1).
+                with m.device_ctx():
                     with self.lock:
-                        if m.map.kf_alive[kid]:
-                            self.loop_closer.process_keyframe(kid)
+                        m._register_new_points(kid)
+                        m.cull_map_points(kid)
+                    with self.lock:
+                        m.create_new_map_points(kid)
+                    with self.lock:
+                        if not self._queue:
+                            m.search_in_neighbors(kid)
+                    with self.lock:
+                        if not self._queue:
+                            m._abort_ba = False
+                            if m.run_ba and m.map.n_keyframes() > 2:
+                                m.local_bundle_adjustment(kid)
+                            m.cull_keyframes(kid)
+                    if self.loop_closer is not None:
+                        with self.lock:
+                            if m.map.kf_alive[kid]:
+                                self.loop_closer.process_keyframe(kid)
             except BaseException as e:  # surfaced on the tracker thread
                 self._error = e
             finally:

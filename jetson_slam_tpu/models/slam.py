@@ -27,7 +27,8 @@ SENSOR_RGBD = "rgbd"
 class SlamSystem:
     def __init__(self, config: SLAMConfig, sensor: str = SENSOR_STEREO,
                  vocabulary=None, enable_mapping: bool = True,
-                 enable_ba: bool = True, async_mapping: bool = False):
+                 enable_ba: bool = True, async_mapping: bool = False,
+                 mapping_device=None):
         self.config = config
         self.sensor = sensor
         cam = config.camera
@@ -51,8 +52,9 @@ class SlamSystem:
                             n_slots=self.frontend.n_slots_padded)
         self.local_mapper = (
             LocalMapper(self.map, cam, self.frontend.geom, sensor=sensor,
-                        run_ba=enable_ba)
+                        run_ba=enable_ba, device=mapping_device)
             if enable_mapping else None)
+        self.mapping_device = mapping_device
         self.vocabulary = vocabulary
         self.database = None
         self.loop_closer = None
@@ -147,7 +149,8 @@ class SlamSystem:
         if self.local_mapper is not None:
             self.local_mapper = LocalMapper(
                 self.map, self.config.camera, self.frontend.geom,
-                sensor=self.sensor, run_ba=self.local_mapper.run_ba)
+                sensor=self.sensor, run_ba=self.local_mapper.run_ba,
+                device=self.mapping_device)
         mapper_handle, map_lock = self.local_mapper, None
         if was_async and self.local_mapper is not None:
             from ..core.pipeline import AsyncMappingPipeline
@@ -183,7 +186,8 @@ class SlamSystem:
         if self.local_mapper is not None:
             self.local_mapper = LocalMapper(
                 self.map, self.config.camera, self.frontend.geom,
-                sensor=self.sensor, run_ba=self.local_mapper.run_ba)
+                sensor=self.sensor, run_ba=self.local_mapper.run_ba,
+                device=self.mapping_device)
         if self.database is not None:
             from ..bow.database import KeyFrameDatabase
             self.database = KeyFrameDatabase(

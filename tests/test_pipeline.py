@@ -68,6 +68,10 @@ def test_worker_error_surfaces():
         def interrupt_ba(self):
             pass
 
+        def device_ctx(self):
+            import contextlib
+            return contextlib.nullcontext()
+
         def _register_new_points(self, kid):
             raise RuntimeError("boom")
 
@@ -76,3 +80,29 @@ def test_worker_error_surfaces():
     with pytest.raises(RuntimeError, match="boom"):
         p.drain()
     p.shutdown()
+
+
+@pytest.mark.slow
+def test_stage_pipeline_mapping_on_second_device():
+    """Multi-chip stage pipeline: tracking device programs on device 0,
+    mapping/BA on device 1 (the reference's LocalMapping thread, across
+    chips)."""
+    import jax
+
+    devs = jax.devices()
+    assert len(devs) >= 2
+    seq = make_stereo_sequence(seed=12, n_frames=12, h=240, w=320,
+                               n_points=800)
+    slam = SlamSystem(_cfg(seq, 240, 320), sensor="stereo",
+                      async_mapping=True, mapping_device=devs[1])
+    for i in range(len(seq.lefts)):
+        state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                     seq.timestamps[i])
+    slam.pipeline.drain()
+    assert state == TrackingState.OK
+    assert slam.map.n_keyframes() >= 2
+    est_ts, est_p = slam.camera_trajectory()
+    ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
+                   seq.timestamps, seq.poses_twc)
+    assert ate < 0.10, f"stage-pipeline ATE {ate}"
+    slam.shutdown()
