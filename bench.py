@@ -23,6 +23,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import jetson_slam_tpu
+    jetson_slam_tpu.enable_compilation_cache()
     from jetson_slam_tpu.io.synthetic import make_stereo_sequence
     from jetson_slam_tpu.ops.frontend import OrbFrontend
 

@@ -79,6 +79,8 @@ def main(argv=None):
     ap.add_argument("--kitti-format", action="store_true")
     ns = ap.parse_args(argv)
 
+    import jetson_slam_tpu
+    jetson_slam_tpu.enable_compilation_cache()
     from jetson_slam_tpu.config import SLAMConfig, load_config
     from jetson_slam_tpu.models.slam import SlamSystem
 
