@@ -77,12 +77,25 @@ def main(argv=None):
     ap.add_argument("--async", dest="async_mapping", action="store_true")
     ap.add_argument("--viewer", default="", help="PNG output directory")
     ap.add_argument("--kitti-format", action="store_true")
+    ap.add_argument("--vocab", default="",
+                    help="DBoW2-format vocabulary path enabling loop "
+                         "closing; 'small' uses the bundled 512-word one")
     ns = ap.parse_args(argv)
 
+    # honor JAX_PLATFORMS even when a sitecustomize force-registers a plugin
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jetson_slam_tpu
     jetson_slam_tpu.enable_compilation_cache()
     from jetson_slam_tpu.config import SLAMConfig, load_config
     from jetson_slam_tpu.models.slam import SlamSystem
+
+    vocab = None
+    if ns.vocab:
+        from jetson_slam_tpu.bow.vocabulary import Vocabulary, small_vocabulary
+        vocab = small_vocabulary() if ns.vocab == "small" \
+            else Vocabulary.load_text(ns.vocab)
 
     if ns.mode == "synthetic":
         from jetson_slam_tpu.io.synthetic import make_stereo_sequence
@@ -95,7 +108,7 @@ def main(argv=None):
         cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
         cfg.orb.n_levels = 4; cfg.orb.tile_h = 16; cfg.orb.tile_w = 16
         slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
-                          async_mapping=ns.async_mapping)
+                          async_mapping=ns.async_mapping, vocabulary=vocab)
         entries = list(range(ns.frames))
         loader = lambda i: (seq.timestamps[i], (seq.lefts[i], seq.rights[i]))
         run(slam, entries, loader, ns)
@@ -128,7 +141,7 @@ def main(argv=None):
                    "mono-euroc": datasets.load_euroc_mono}
         entries = loaders[ns.mode](ns.args[1])
         slam = SlamSystem(cfg, sensor="mono", enable_ba=not ns.no_ba,
-                          async_mapping=ns.async_mapping)
+                          async_mapping=ns.async_mapping, vocabulary=vocab)
         loader = lambda e: (e[0], (datasets.imread_gray(e[1]),))
         run(slam, entries, loader, ns, mode="mono")
         return
@@ -136,7 +149,7 @@ def main(argv=None):
     if ns.mode == "rgbd-tum":
         entries = datasets.load_tum_rgbd(ns.args[1], ns.args[2])
         slam = SlamSystem(cfg, sensor="rgbd", enable_ba=not ns.no_ba,
-                          async_mapping=ns.async_mapping)
+                          async_mapping=ns.async_mapping, vocabulary=vocab)
 
         def loader(e):
             rgb = datasets.imread_gray(e[1])
@@ -153,7 +166,7 @@ def main(argv=None):
     else:
         entries = datasets.load_kitti_stereo(ns.args[1])
     slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
-                      async_mapping=ns.async_mapping)
+                      async_mapping=ns.async_mapping, vocabulary=vocab)
 
     def loader(e):
         l = datasets.imread_gray(e[1])

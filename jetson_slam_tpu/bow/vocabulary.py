@@ -257,3 +257,21 @@ class Vocabulary:
 def _hamming_np(a, b):
     """(N, 32) x (M, 32) -> (N, M) int Hamming distances."""
     return _popcount_u8(a[:, None, :] ^ b[None, :, :]).sum(-1).astype(np.int32)
+
+
+_SMALL_VOCAB = None
+
+
+def small_vocabulary() -> "Vocabulary":
+    """Bundled 512-word vocabulary (k=8, L=3) trained on diverse synthetic
+    ORB descriptors — the out-of-the-box stand-in for the reference's
+    140 MB ORBvoc.txt (System.cpp:72-79 loads it at startup; the file is
+    not part of the reference snapshot).  Load a full DBoW2 ORBvoc.txt via
+    Vocabulary.load_text for dataset-grade place recognition."""
+    global _SMALL_VOCAB
+    if _SMALL_VOCAB is None:
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data", "vocab_small.txt")
+        _SMALL_VOCAB = Vocabulary.load_text(path)
+    return _SMALL_VOCAB

@@ -76,3 +76,31 @@ def test_database_retrieval(vocab, rng):
     q[:5] = rng.integers(0, 256, (5, 32)).astype(np.uint8)
     cands = db.detect_relocalization_candidates(q, m)
     assert 3 in cands
+
+
+def test_small_vocabulary_bundled():
+    """Bundled 512-word vocabulary loads and discriminates frames."""
+    from jetson_slam_tpu.bow.vocabulary import small_vocabulary, Vocabulary
+    from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+    from jetson_slam_tpu.ops.frontend import OrbFrontend
+
+    voc = small_vocabulary()
+    assert voc.n_words == 512
+    fe = OrbFrontend(120, 160, n_levels=3, scale_factor=1.2, threshold=20,
+                     tile_h=12, tile_w=12)
+    seq_a = make_stereo_sequence(seed=31, n_frames=2, h=120, w=160)
+    seq_b = make_stereo_sequence(seed=77, n_frames=1, h=120, w=160)
+
+    def bow(img):
+        r = fe.extract(img)
+        v = np.asarray(r.valid)
+        return voc.bow_vector(np.asarray(r.desc)[v])
+
+    a0, b0 = bow(seq_a.lefts[0]), bow(seq_b.lefts[0])
+    # L1 scores are in [0, 1]; a frame matches itself perfectly and beats a
+    # different scene (synthetic scenes share texture statistics, so
+    # cross-frame margins are small — self vs other is the robust property)
+    same = Vocabulary.l1_score(a0, a0)
+    diff = Vocabulary.l1_score(a0, b0)
+    assert same == pytest.approx(1.0, abs=1e-5)
+    assert diff < same - 0.05, (same, diff)
