@@ -320,7 +320,19 @@ class LocalMapper:
 
     # ------------------------------------------------------ local BA
     def local_bundle_adjustment(self, kid):
-        """Optimizer::LocalBundleAdjustment wrapper (Optimizer.cpp:458-784)."""
+        """Optimizer::LocalBundleAdjustment wrapper (Optimizer.cpp:458-784).
+
+        Split into prepare (map reads) / solve (pure device LM) / commit
+        (map writes) so the async pipeline can run the solve without holding
+        the map lock and honor the abort-BA interrupt by discarding the
+        result (mbAbortBA semantics, Optimizer.cpp:577-580)."""
+        prep = self._lba_prepare(kid)
+        if prep is None:
+            return
+        sol = self._lba_solve(prep)
+        self._lba_commit(prep, sol)
+
+    def _lba_prepare(self, kid):
         m = self.map
         local, _ = m.covisible_keyframes(kid, n=None, min_weight=1)
         local = np.concatenate([[kid], local]).astype(np.int64)
@@ -330,7 +342,7 @@ class LocalMapper:
         pids = np.unique(obs[obs >= 0])
         pids = pids[m.pt_alive[pids]]
         if len(pids) < 10:
-            return
+            return None
         in_pts = np.zeros(m.max_points, bool)
         in_pts[pids] = True
         # fixed cameras: other KFs observing these points
@@ -344,7 +356,7 @@ class LocalMapper:
         fixed = np.concatenate([local == 0,
                                 np.ones(len(fixed_kfs), bool)])
         if len(local) == 1 or (~fixed).sum() < 1:
-            return
+            return None
         if fixed.sum() == 0:
             fixed[np.argmin(cams)] = True  # no frontier: anchor oldest KF
         cam_of = {int(k): i for i, k in enumerate(cams)}
@@ -362,7 +374,7 @@ class LocalMapper:
                     e_kf.append(int(k))
         E = len(e_cam)
         if E < 20:
-            return
+            return None
         e_cam = np.array(e_cam, np.int32)
         e_pt = np.array(e_pt, np.int32)
         e_slot = np.array(e_slot, np.int64)
@@ -386,18 +398,33 @@ class LocalMapper:
 
         Rs = m.kf_pose[cams, :3, :3].astype(np.float32)
         ts = m.kf_pose[cams, :3, 3].astype(np.float32)
+        return dict(cams=cams, fixed=fixed, pids=pids, Rs=Rs, ts=ts,
+                    pt_pos=m.pt_pos[pids].copy(),
+                    e_cam=e_cam, e_pt=e_pt, e_slot=e_slot, e_kf=e_kf,
+                    obs_arr=obs_arr, is_stereo=is_stereo, inv_s2=inv_s2,
+                    pt_edges=pt_edges, E=E)
+
+    def _lba_solve(self, prep):
+        """Pure device LM solve over the prepared snapshot — touches no map
+        state (safe to run without the map lock)."""
+        import jax
         R2, t2, p2, outlier = local_ba(
-            jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(fixed),
-            jnp.asarray(m.pt_pos[pids]),
-            jnp.asarray(e_cam), jnp.asarray(e_pt), jnp.asarray(obs_arr),
-            jnp.asarray(is_stereo), jnp.asarray(inv_s2),
-            jnp.asarray(np.ones(E, bool)), jnp.asarray(pt_edges),
+            jnp.asarray(prep["Rs"]), jnp.asarray(prep["ts"]),
+            jnp.asarray(prep["fixed"]),
+            jnp.asarray(prep["pt_pos"]),
+            jnp.asarray(prep["e_cam"]), jnp.asarray(prep["e_pt"]),
+            jnp.asarray(prep["obs_arr"]), jnp.asarray(prep["is_stereo"]),
+            jnp.asarray(prep["inv_s2"]),
+            jnp.asarray(np.ones(prep["E"], bool)),
+            jnp.asarray(prep["pt_edges"]),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf)
-        R2 = np.asarray(R2)
-        t2 = np.asarray(t2)
-        p2 = np.asarray(p2)
-        outlier = np.asarray(outlier)
-        # write back
+        return jax.device_get((R2, t2, p2, outlier))
+
+    def _lba_commit(self, prep, sol):
+        """Write solved poses/points/outliers back into the map."""
+        m = self.map
+        R2, t2, p2, outlier = sol
+        cams, fixed, pids = prep["cams"], prep["fixed"], prep["pids"]
         from ..utils.lie import project_so3_np
         for i, k in enumerate(cams):
             if not fixed[i]:
@@ -405,7 +432,7 @@ class LocalMapper:
                 m.kf_pose[k, :3, 3] = t2[i]
         m.pt_pos[pids] = p2
         for e in np.flatnonzero(outlier):
-            m.erase_observation(int(e_kf[e]), int(e_slot[e]))
+            m.erase_observation(int(prep["e_kf"][e]), int(prep["e_slot"][e]))
 
     # -------------------------------------------------- keyframe culling
     def cull_keyframes(self, kid):

@@ -143,19 +143,24 @@ class LoopCloser:
             if int(n_inl) < 20:
                 continue
             # Sim3 LM refinement on the RANSAC inliers
-            # (Optimizer::OptimizeSim3, Optimizer.cpp:1051-1248)
+            # (Optimizer::OptimizeSim3, Optimizer.cpp:1051-1248).
+            # Direction care: sim3_ransac returns S mapping CURRENT-frame
+            # points into the CANDIDATE frame (p2 = s R p1 + t);
+            # sim3_optimization refines S mapping its SECOND point set into
+            # its FIRST (q1 = s R p2 + t), so the candidate set rides first
+            # to keep the same current->candidate transform throughout.
             from .optimizer import sim3_optimization
             obs1 = m.kf_kp_xy[kid, slots1]
             obs2 = m.kf_kp_xy[cand, slots2]
             inv1 = 1.0 / self.sigma2[m.kf_kp_octave[kid, slots1]]
             inv2 = 1.0 / self.sigma2[m.kf_kp_octave[cand, slots2]]
             s, R, t, inl, n_inl = sim3_optimization(
-                jnp.asarray(P1.astype(np.float32)),
                 jnp.asarray(P2.astype(np.float32)),
-                jnp.asarray(obs1.astype(np.float32)),
+                jnp.asarray(P1.astype(np.float32)),
                 jnp.asarray(obs2.astype(np.float32)),
-                jnp.asarray(inv1.astype(np.float32)),
+                jnp.asarray(obs1.astype(np.float32)),
                 jnp.asarray(inv2.astype(np.float32)),
+                jnp.asarray(inv1.astype(np.float32)),
                 jnp.asarray(inl), jnp.float32(s), R, t,
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 fix_scale=fix_scale)

@@ -93,11 +93,24 @@ class AsyncMappingPipeline:
                     with self.lock:
                         if not self._queue:
                             m.search_in_neighbors(kid)
+                    # local BA: prepare under the lock, run the device LM
+                    # WITHOUT it (the tracker keeps going), commit under it.
+                    # If a keyframe arrived during the solve the tracker set
+                    # abort-BA — discard the stale solution, the reference's
+                    # mbAbortBA semantics (Optimizer.cpp:577-580).
+                    prep = None
+                    with self.lock:
+                        if not self._queue and m.run_ba and \
+                                m.map.n_keyframes() > 2:
+                            m._abort_ba = False
+                            prep = m._lba_prepare(kid)
+                    if prep is not None:
+                        sol = m._lba_solve(prep)
+                        with self.lock:
+                            if not m._abort_ba:
+                                m._lba_commit(prep, sol)
                     with self.lock:
                         if not self._queue:
-                            m._abort_ba = False
-                            if m.run_ba and m.map.n_keyframes() > 2:
-                                m.local_bundle_adjustment(kid)
                             m.cull_keyframes(kid)
                     if self.loop_closer is not None:
                         with self.lock:

@@ -61,6 +61,10 @@ class Tracker:
         self.min_y, self.max_y = 0.0, float(g.heights[0])
         self.trajectory = []          # (timestamp, Tcw, ref_kf, is_lost)
         self.matches_inliers = 0
+        # localization-only: never create keyframes / mutate the map
+        # (System::ActivateLocalizationMode semantics, working here unlike
+        # the reference's every-frame reset quirk, Tracking.cpp:375)
+        self.only_tracking = False
         # temp "visual odometry" points attached to the last frame
         self._last_temp_world = None
         self._last_temp_flag = None
@@ -316,26 +320,6 @@ class Tracker:
         frame.outlier = (match_slot >= 0) & ~inlier
         return int(n_map) >= 10
 
-    def _project_last(self, frame, pw, has_pt, th):
-        lf = self.last_frame
-        tlc = (frame.Tcw @ lf.Twc)[:3, 3]
-        mb = self.cam.bf / self.cam.fx
-        forward = tlc[2] > mb and self.sensor != "mono"
-        backward = -tlc[2] > mb and self.sensor != "mono"
-        out, _ = matcher.search_by_projection_last(
-            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
-            jnp.asarray(pw), jnp.asarray(has_pt),
-            jnp.asarray(lf.octave), jnp.asarray(lf.angle), jnp.asarray(lf.desc),
-            jnp.asarray(lf.u_right >= 0),
-            jnp.asarray(frame.kp_xy), jnp.asarray(frame.octave),
-            jnp.asarray(frame.angle), jnp.asarray(frame.desc),
-            jnp.asarray(frame.valid), jnp.asarray(frame.u_right),
-            float(th), self.scale_factors, self.n_levels,
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
-            mb, self.min_x, self.max_x, self.min_y, self.max_y,
-            bool(forward), bool(backward))
-        return np.asarray(out)
-
     def _apply_last_matches(self, frame, match_slot):
         """match_slot: per-current-slot index into last-frame slots."""
         lf = self.last_frame
@@ -513,6 +497,8 @@ class Tracker:
     # ================================================== keyframe policy
     def _need_new_keyframe(self, frame: Frame):
         """Tracking::NeedNewKeyFrame (Tracking.cpp:1180-1264)."""
+        if self.only_tracking:
+            return False
         m = self.map
         n_kfs = m.n_keyframes()
         if frame.frame_id < self.last_reloc_frame_id + self.max_frames and \

@@ -47,39 +47,59 @@ class SlamSystem:
             tile_h=orb.tile_h, tile_w=orb.tile_w,
             fixed_multi_scale_tile_size=orb.fixed_multi_scale_tile_size,
             apply_nms_ms=orb.apply_nms_ms, mask=mask)
-        self.map = MapStore(max_points=config.max_map_points,
-                            max_keyframes=config.max_keyframes,
-                            n_slots=self.frontend.n_slots_padded)
-        self.local_mapper = (
-            LocalMapper(self.map, cam, self.frontend.geom, sensor=sensor,
-                        run_ba=enable_ba, device=mapping_device)
-            if enable_mapping else None)
         self.mapping_device = mapping_device
         self.vocabulary = vocabulary
+        self.enable_mapping = enable_mapping
+        self.enable_ba = enable_ba
+        self.async_mapping = async_mapping
+        self.pipeline = None
+        self.localization_only = False
+        self._wire(MapStore(max_points=config.max_map_points,
+                            max_keyframes=config.max_keyframes,
+                            n_slots=self.frontend.n_slots_padded))
+
+    def _wire(self, map_store, populate_database=False):
+        """(Re)bind every module to `map_store`: mapper, BoW database + loop
+        closer, async pipeline, tracker.  Used by __init__ / reset / load_map
+        so no module is ever left pointing at a stale MapStore."""
+        if self.pipeline is not None:
+            self.pipeline.shutdown()
+            self.pipeline = None
+        self.map = map_store
+        cam = self.config.camera
+        self.local_mapper = (
+            LocalMapper(self.map, cam, self.frontend.geom, sensor=self.sensor,
+                        run_ba=self.enable_ba, device=self.mapping_device)
+            if self.enable_mapping else None)
         self.database = None
         self.loop_closer = None
-        if vocabulary is not None:
+        if self.vocabulary is not None:
             from ..bow.database import KeyFrameDatabase
             from ..core.loop_closing import LoopCloser
             self.database = KeyFrameDatabase(
-                vocabulary, max_keyframes=config.max_keyframes)
+                self.vocabulary, max_keyframes=self.config.max_keyframes)
+            if populate_database:
+                for kid in self.map.keyframe_ids():
+                    self.database.add(
+                        kid, self.map.kf_desc[kid][self.map.kf_kp_valid[kid]])
             self.loop_closer = LoopCloser(self.map, self.database, cam,
-                                          self.frontend.geom, sensor=sensor)
+                                          self.frontend.geom,
+                                          sensor=self.sensor)
         # async: LocalMapping + LoopClosing on a worker thread, like the
         # reference's System.cpp:97-111 thread spawn; else synchronous stage
-        self.pipeline = None
         mapper_handle = self.local_mapper
         map_lock = None
-        if async_mapping and self.local_mapper is not None:
+        if self.async_mapping and self.local_mapper is not None:
             from ..core.pipeline import AsyncMappingPipeline
             self.pipeline = AsyncMappingPipeline(self.local_mapper,
                                                  self.loop_closer)
             mapper_handle = self.pipeline
             map_lock = self.pipeline.lock
-        self.tracker = Tracker(self.frontend, cam, self.map, sensor=sensor,
+        self.tracker = Tracker(self.frontend, cam, self.map,
+                               sensor=self.sensor,
                                local_mapper=mapper_handle,
                                database=self.database, map_lock=map_lock)
-        self.localization_only = False
+        self.tracker.only_tracking = self.localization_only
 
     # ------------------------------------------------------------- track
     def track_stereo(self, left, right, timestamp):
@@ -111,11 +131,15 @@ class SlamSystem:
     def activate_localization_mode(self):
         """System::ActivateLocalizationMode (System.cpp:282).  Note the
         reference quirk: Tracking::Track resets mbOnlyTracking every frame
-        (Tracking.cpp:375) making the mode a no-op there; here it works."""
+        (Tracking.cpp:375) making the mode a no-op there; here it works:
+        the tracker stops creating keyframes, so neither the synchronous
+        stage nor the async worker ever mutates the map."""
         self.localization_only = True
+        self.tracker.only_tracking = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.tracker.only_tracking = False
 
     def get_tracking_state(self):
         return self.tracker.state
@@ -139,28 +163,9 @@ class SlamSystem:
 
     def reset(self):
         """System::Reset -> Tracking::Reset (Tracking.cpp:2117)."""
-        was_async = self.pipeline is not None
-        if was_async:
-            self.pipeline.shutdown()
-            self.pipeline = None
-        self.map = MapStore(max_points=self.config.max_map_points,
+        self._wire(MapStore(max_points=self.config.max_map_points,
                             max_keyframes=self.config.max_keyframes,
-                            n_slots=self.frontend.n_slots_padded)
-        if self.local_mapper is not None:
-            self.local_mapper = LocalMapper(
-                self.map, self.config.camera, self.frontend.geom,
-                sensor=self.sensor, run_ba=self.local_mapper.run_ba,
-                device=self.mapping_device)
-        mapper_handle, map_lock = self.local_mapper, None
-        if was_async and self.local_mapper is not None:
-            from ..core.pipeline import AsyncMappingPipeline
-            self.pipeline = AsyncMappingPipeline(self.local_mapper,
-                                                 self.loop_closer)
-            mapper_handle = self.pipeline
-            map_lock = self.pipeline.lock
-        self.tracker = Tracker(self.frontend, self.config.camera, self.map,
-                               sensor=self.sensor,
-                               local_mapper=mapper_handle, map_lock=map_lock)
+                            n_slots=self.frontend.n_slots_padded))
 
     def shutdown(self):
         """System::Shutdown — drain/stop mapping threads (System.cpp:313)."""
@@ -182,28 +187,7 @@ class SlamSystem:
         loaded map — the resume story the reference never shipped."""
         from ..core.tracking import TrackingState
         from ..io.checkpoint import load_map
-        self.map = load_map(path)
-        if self.local_mapper is not None:
-            self.local_mapper = LocalMapper(
-                self.map, self.config.camera, self.frontend.geom,
-                sensor=self.sensor, run_ba=self.local_mapper.run_ba,
-                device=self.mapping_device)
-        if self.database is not None:
-            from ..bow.database import KeyFrameDatabase
-            self.database = KeyFrameDatabase(
-                self.vocabulary, max_keyframes=self.config.max_keyframes)
-            for kid in self.map.keyframe_ids():
-                self.database.add(
-                    kid, self.map.kf_desc[kid][self.map.kf_kp_valid[kid]])
-            from ..core.loop_closing import LoopCloser
-            self.loop_closer = LoopCloser(self.map, self.database,
-                                          self.config.camera,
-                                          self.frontend.geom,
-                                          sensor=self.sensor)
-        self.tracker = Tracker(self.frontend, self.config.camera, self.map,
-                               sensor=self.sensor,
-                               local_mapper=self.local_mapper,
-                               database=self.database)
+        self._wire(load_map(path), populate_database=True)
         self.tracker.state = (TrackingState.LOST if self.map.n_keyframes()
                               else TrackingState.NO_IMAGES_YET)
 

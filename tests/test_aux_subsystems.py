@@ -113,3 +113,32 @@ def test_slam_system_map_save_load(tmp_path):
     assert slam.map.n_keyframes() == n_kf
     assert slam.map.n_points() == n_pt
     assert slam.get_tracking_state() == TrackingState.LOST
+
+
+def test_localization_only_freezes_map():
+    """ActivateLocalizationMode: tracking continues, map stops growing."""
+    from jetson_slam_tpu.config import SLAMConfig
+    from jetson_slam_tpu.core.tracking import TrackingState
+    from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+    from jetson_slam_tpu.models.slam import SlamSystem
+
+    seq = make_stereo_sequence(seed=13, n_frames=12, h=240, w=320)
+    cfg = SLAMConfig()
+    cfg.camera.fx = seq.fx; cfg.camera.fy = seq.fy
+    cfg.camera.cx = seq.cx; cfg.camera.cy = seq.cy
+    cfg.camera.width = 320; cfg.camera.height = 240; cfg.camera.bf = seq.bf
+    cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
+    cfg.orb.n_levels = 4; cfg.orb.tile_h = 16; cfg.orb.tile_w = 16
+    slam = SlamSystem(cfg, sensor="stereo")
+    for i in range(6):
+        state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                     seq.timestamps[i])
+    assert state == TrackingState.OK
+    slam.activate_localization_mode()
+    n_kf, n_pt = slam.map.n_keyframes(), slam.map.n_points()
+    for i in range(6, 12):
+        state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                     seq.timestamps[i])
+    assert state == TrackingState.OK
+    assert slam.map.n_keyframes() == n_kf
+    assert slam.map.n_points() == n_pt
