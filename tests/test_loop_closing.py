@@ -37,4 +37,7 @@ def test_loop_detected_on_circular_trajectory():
     est_ts, est_p = slam.camera_trajectory()
     ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
                    seq.timestamps, seq.poses_twc)
-    assert ate < 0.30, f"ATE after loop closing {ate:.3f}"
+    # measured 0.011 m with the correctly-oriented Sim3 correction (an
+    # inverted correction roughly doubles the drift instead) — 0.05 keeps
+    # headroom for noise while still catching direction/propagation bugs
+    assert ate < 0.05, f"ATE after loop closing {ate:.3f}"
