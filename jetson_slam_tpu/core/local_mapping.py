@@ -28,6 +28,18 @@ from .map import MapStore
 from .triangulation import epipolar_match, fundamental_matrix, triangulate_pairs
 
 
+def _bucket(n: int, lo: int = 16) -> int:
+    """Round a dynamic count up to a power-of-two bucket (>= lo).
+
+    Every jitted program here is shape-specialized; padding dynamic problem
+    sizes (match counts, edge counts, camera counts) to buckets means XLA
+    compiles once per bucket instead of once per keyframe — the reference
+    has no such issue because CUDA kernels take runtime sizes, but on TPU
+    recompilation (~1 s each) would dominate the mapping stage.
+    """
+    return max(lo, 1 << int(max(np.ceil(np.log2(max(n, 1))), 0)))
+
+
 class LocalMapper:
     def __init__(self, map_store: MapStore, cam, geom, sensor="stereo",
                  run_ba=True, device=None):
@@ -180,38 +192,44 @@ class LocalMapper:
                 float(ex), float(ey),
                 jnp.asarray(self.scale_factors ** 2)))
             s1 = np.flatnonzero((match >= 0) & free1)
-            if len(s1) == 0:
+            n = len(s1)
+            if n == 0:
                 continue
             s2 = match[s1]
-            xy1 = m.kf_kp_xy[kid, s1]
-            xy2 = m.kf_kp_xy[kid2, s2]
+            # pad the pair batch to a bucket (repeat entry 0); padded outputs
+            # are sliced off below — keeps triangulate_pairs' compiled shapes
+            # stable across keyframes
+            cap = _bucket(n, 64)
+            s1p = np.concatenate([s1, np.full(cap - n, s1[0], s1.dtype)])
+            s2p = np.concatenate([s2, np.full(cap - n, s2[0], s2.dtype)])
+            xy1 = m.kf_kp_xy[kid, s1p]
+            xy2 = m.kf_kp_xy[kid2, s2p]
             x1n = np.stack([(xy1[:, 0] - self.cam.cx) / self.cam.fx,
                             (xy1[:, 1] - self.cam.cy) / self.cam.fy,
-                            np.ones(len(s1), np.float32)], axis=1)
+                            np.ones(cap, np.float32)], axis=1)
             x2n = np.stack([(xy2[:, 0] - self.cam.cx) / self.cam.fx,
                             (xy2[:, 1] - self.cam.cy) / self.cam.fy,
-                            np.ones(len(s1), np.float32)], axis=1)
-            n = len(s1)
+                            np.ones(cap, np.float32)], axis=1)
             pts, ok = triangulate_pairs(
-                jnp.broadcast_to(jnp.asarray(R1), (n, 3, 3)),
-                jnp.broadcast_to(jnp.asarray(t1), (n, 3)),
-                jnp.broadcast_to(jnp.asarray(R2), (n, 3, 3)),
-                jnp.broadcast_to(jnp.asarray(t2), (n, 3)),
+                jnp.broadcast_to(jnp.asarray(R1), (cap, 3, 3)),
+                jnp.broadcast_to(jnp.asarray(t1), (cap, 3)),
+                jnp.broadcast_to(jnp.asarray(R2), (cap, 3, 3)),
+                jnp.broadcast_to(jnp.asarray(t2), (cap, 3)),
                 jnp.asarray(x1n.astype(np.float32)),
                 jnp.asarray(x2n.astype(np.float32)),
-                jnp.asarray(m.kf_kp_ur[kid, s1]),
-                jnp.asarray(m.kf_kp_ur[kid2, s2]),
-                jnp.asarray(m.kf_kp_depth[kid, s1]),
-                jnp.asarray(m.kf_kp_depth[kid2, s2]),
+                jnp.asarray(m.kf_kp_ur[kid, s1p]),
+                jnp.asarray(m.kf_kp_ur[kid2, s2p]),
+                jnp.asarray(m.kf_kp_depth[kid, s1p]),
+                jnp.asarray(m.kf_kp_depth[kid2, s2p]),
                 jnp.asarray(xy1), jnp.asarray(xy2),
-                jnp.asarray(m.kf_kp_octave[kid, s1]),
-                jnp.asarray(m.kf_kp_octave[kid2, s2]),
-                jnp.asarray(self.sigma2[m.kf_kp_octave[kid, s1]]),
-                jnp.asarray(self.sigma2[m.kf_kp_octave[kid2, s2]]),
+                jnp.asarray(m.kf_kp_octave[kid, s1p]),
+                jnp.asarray(m.kf_kp_octave[kid2, s2p]),
+                jnp.asarray(self.sigma2[m.kf_kp_octave[kid, s1p]]),
+                jnp.asarray(self.sigma2[m.kf_kp_octave[kid2, s2p]]),
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 self.cam.bf, float(ratio_factor))
-            pts = np.asarray(pts)
-            ok = np.asarray(ok)
+            pts = np.asarray(pts)[:n]
+            ok = np.asarray(ok)[:n]
             for i in np.flatnonzero(ok):
                 sl1, sl2 = int(s1[i]), int(s2[i])
                 if m.kf_obs[kid, sl1] >= 0 or m.kf_obs[kid2, sl2] >= 0:
@@ -388,20 +406,43 @@ class LocalMapper:
 
         P = len(pids)
         deg = np.bincount(e_pt, minlength=P)
-        D = int(deg.max())
-        pt_edges = np.full((P, D), -1, np.int32)
+        # pad every problem dimension to a bucket so the LM program compiles
+        # once per bucket, not once per keyframe (padded cameras are fixed
+        # identity blocks, padded points are edge-free lam*I blocks, padded
+        # edges carry e_valid=False -> zero weight)
+        C_real = len(cams)
+        C_pad = _bucket(C_real, 8)
+        P_pad = _bucket(P, 64)
+        E_pad = _bucket(E, 256)
+        D = _bucket(int(deg.max()), 4)
+        pt_edges = np.full((P_pad, D), -1, np.int32)
         fill = np.zeros(P, np.int32)
         for e in range(E):
             p = e_pt[e]
             pt_edges[p, fill[p]] = e
             fill[p] += 1
 
-        Rs = m.kf_pose[cams, :3, :3].astype(np.float32)
-        ts = m.kf_pose[cams, :3, 3].astype(np.float32)
-        return dict(cams=cams, fixed=fixed, pids=pids, Rs=Rs, ts=ts,
-                    pt_pos=m.pt_pos[pids].copy(),
-                    e_cam=e_cam, e_pt=e_pt, e_slot=e_slot, e_kf=e_kf,
-                    obs_arr=obs_arr, is_stereo=is_stereo, inv_s2=inv_s2,
+        Rs = np.tile(np.eye(3, dtype=np.float32), (C_pad, 1, 1))
+        ts = np.zeros((C_pad, 3), np.float32)
+        Rs[:C_real] = m.kf_pose[cams, :3, :3]
+        ts[:C_real] = m.kf_pose[cams, :3, 3]
+        fixed_p = np.ones(C_pad, bool)
+        fixed_p[:C_real] = fixed
+        pt_pos = np.zeros((P_pad, 3), np.float32)
+        pt_pos[:P] = m.pt_pos[pids]
+
+        def padE(a, fillv=0):
+            out = np.full((E_pad,) + a.shape[1:], fillv, a.dtype)
+            out[:E] = a
+            return out
+
+        return dict(cams=cams, fixed=fixed_p, pids=pids, Rs=Rs, ts=ts,
+                    pt_pos=pt_pos,
+                    e_cam=padE(e_cam), e_pt=padE(e_pt),
+                    e_slot=e_slot, e_kf=e_kf,
+                    obs_arr=padE(obs_arr), is_stereo=padE(is_stereo),
+                    inv_s2=padE(inv_s2, 1.0),
+                    e_valid=padE(np.ones(E, bool)),
                     pt_edges=pt_edges, E=E)
 
     def _lba_solve(self, prep):
@@ -415,7 +456,7 @@ class LocalMapper:
             jnp.asarray(prep["e_cam"]), jnp.asarray(prep["e_pt"]),
             jnp.asarray(prep["obs_arr"]), jnp.asarray(prep["is_stereo"]),
             jnp.asarray(prep["inv_s2"]),
-            jnp.asarray(np.ones(prep["E"], bool)),
+            jnp.asarray(prep["e_valid"]),
             jnp.asarray(prep["pt_edges"]),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf)
         return jax.device_get((R2, t2, p2, outlier))
@@ -430,8 +471,8 @@ class LocalMapper:
             if not fixed[i]:
                 m.kf_pose[k, :3, :3] = project_so3_np(R2[i])
                 m.kf_pose[k, :3, 3] = t2[i]
-        m.pt_pos[pids] = p2
-        for e in np.flatnonzero(outlier):
+        m.pt_pos[pids] = p2[:len(pids)]
+        for e in np.flatnonzero(outlier[:prep["E"]]):
             m.erase_observation(int(prep["e_kf"][e]), int(prep["e_slot"][e]))
 
     # -------------------------------------------------- keyframe culling

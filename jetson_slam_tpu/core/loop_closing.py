@@ -358,24 +358,42 @@ class LoopCloser:
             m.kf_kp_xy[e_kf, e_slot, 0], m.kf_kp_xy[e_kf, e_slot, 1],
             np.where(kp_ur >= 0, kp_ur, 0.0)], 1).astype(np.float32)
         inv_s2 = (1.0 / self.sigma2)[m.kf_kp_octave[e_kf, e_slot]]
-        P = len(pids)
+        # bucket every problem dimension (see local_mapping._bucket): a
+        # second loop event then reuses the compiled LM program
+        from .local_mapping import _bucket
+        C_real, P = len(kids), len(pids)
+        C_pad = _bucket(C_real, 8)
+        P_pad = _bucket(P, 64)
+        E_pad = _bucket(E, 256)
         deg = np.bincount(e_pt, minlength=P)
-        D = int(deg.max())
-        pt_edges = np.full((P, D), -1, np.int32)
+        D = _bucket(int(deg.max()), 4)
+        pt_edges = np.full((P_pad, D), -1, np.int32)
         fill = np.zeros(P, np.int64)
         for e in range(E):
             p = e_pt[e]
             pt_edges[p, fill[p]] = e
             fill[p] += 1
-        fixed = np.zeros(len(kids), bool)
-        fixed[0] = True
+        fixed = np.ones(C_pad, bool)
+        fixed[1:C_real] = False
+        Rs = np.tile(np.eye(3, dtype=np.float32), (C_pad, 1, 1))
+        ts = np.zeros((C_pad, 3), np.float32)
+        Rs[:C_real] = m.kf_pose[kids, :3, :3]
+        ts[:C_real] = m.kf_pose[kids, :3, 3]
+        pt_pos = np.zeros((P_pad, 3), np.float32)
+        pt_pos[:P] = m.pt_pos[pids]
+
+        def padE(a, fillv=0):
+            out = np.full((E_pad,) + a.shape[1:], fillv, a.dtype)
+            out[:E] = a
+            return out
+
         R2, t2, p2, outlier = local_ba(
-            jnp.asarray(m.kf_pose[kids, :3, :3].astype(np.float32)),
-            jnp.asarray(m.kf_pose[kids, :3, 3].astype(np.float32)),
-            jnp.asarray(fixed), jnp.asarray(m.pt_pos[pids]),
-            jnp.asarray(e_cam), jnp.asarray(e_pt), jnp.asarray(obs_arr),
-            jnp.asarray(kp_ur >= 0), jnp.asarray(inv_s2.astype(np.float32)),
-            jnp.asarray(np.ones(E, bool)), jnp.asarray(pt_edges),
+            jnp.asarray(Rs), jnp.asarray(ts),
+            jnp.asarray(fixed), jnp.asarray(pt_pos),
+            jnp.asarray(padE(e_cam)), jnp.asarray(padE(e_pt)),
+            jnp.asarray(padE(obs_arr)), jnp.asarray(padE(kp_ur >= 0)),
+            jnp.asarray(padE(inv_s2.astype(np.float32), 1.0)),
+            jnp.asarray(padE(np.ones(E, bool))), jnp.asarray(pt_edges),
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
             its1=5, its2=its)
         R2 = np.asarray(R2); t2 = np.asarray(t2); p2 = np.asarray(p2)
@@ -384,4 +402,4 @@ class LoopCloser:
                 from ..utils.lie import project_so3_np
                 m.kf_pose[k, :3, :3] = project_so3_np(R2[i])
                 m.kf_pose[k, :3, 3] = t2[i]
-        m.pt_pos[pids] = p2
+        m.pt_pos[pids] = p2[:P]

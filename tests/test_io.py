@@ -94,3 +94,38 @@ def test_config_from_dict_defaults():
     cfg = config_from_dict({"ORBextractor.nLevels": 4})
     assert cfg.orb.n_levels == 4
     assert cfg.camera.fps == 20.0
+
+
+def test_shipped_dataset_configs_parse():
+    """Every config under examples/configs/ loads and matches the reference
+    per-dataset tuning (BASELINE.md 'Per-dataset reference configuration')."""
+    import glob
+    import os
+    base = os.path.join(os.path.dirname(__file__), "..", "examples", "configs")
+    files = sorted(glob.glob(os.path.join(base, "*.yaml")))
+    assert len(files) >= 9
+    cfgs = {os.path.basename(f): load_config(f) for f in files}
+
+    eu = cfgs["EuRoC_stereo.yaml"]
+    assert (eu.camera.width, eu.camera.height) == (752, 480)
+    assert eu.orb.n_levels == 8 and eu.orb.tile_h == 30
+    assert not eu.orb.apply_nms_ms
+    assert eu.left_rect is not None and eu.right_rect is not None
+    assert eu.left_rect["K"].shape == (3, 3)
+    assert eu.right_rect["P"][0, 3] == -47.90639384423901
+
+    ki = cfgs["KITTI00-02_stereo.yaml"]
+    assert ki.orb.n_levels == 1 and ki.orb.tile_h == 25
+    assert ki.orb.th_fast_max == 60 and ki.orb.apply_nms_ms
+
+    tu = cfgs["TUM1_rgbd.yaml"]
+    assert tu.camera.depth_map_factor == 5000.0
+    assert tu.orb.tile_h == 15 and tu.camera.k3 == 1.163314
+
+    ka = cfgs["KAIST-VIO_stereo.yaml"]
+    assert ka.orb.n_levels == 4 and ka.orb.tile_h == 20
+    assert ka.camera.fps == 40.0
+
+    mono = cfgs["EuRoC_mono.yaml"]
+    assert mono.camera.k1 == -0.28340811  # raw cam0 distortion kept
+    assert mono.orb.tile_h == 30          # GPU keys present (unlike reference)
