@@ -56,6 +56,7 @@ def run(slam, entries, loader, ns, mode="stereo", raw_loader=None):
     times = np.array(times)
     print(f"median tracking time: {np.median(times)*1e3:.2f} ms")
     print(f"mean tracking time:   {times.mean()*1e3:.2f} ms")
+    print(f"fused fast-path frames: {slam.tracker.fused_frames}/{len(times)}")
     if ns.out:
         if ns.kitti_format:
             slam.save_trajectory_kitti(ns.out)

@@ -109,6 +109,43 @@ class Frame:
         self.ref_kf = -1
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_arrays(cls, frontend, cam, timestamp, valid, xs, ys, octave,
+                    angle, response, desc, u_right=None, depth=None,
+                    dev_cache=None):
+        """Build a Frame from already-pulled front-end arrays (the fused
+        tracking step, core/fused_track.py, runs the front-end inside one
+        whole-frame device program and pulls everything in a single
+        device_get — re-running extraction here would double the work)."""
+        self = cls.__new__(cls)
+        self.timestamp = float(timestamp)
+        self.frame_id = Frame._next_id
+        Frame._next_id += 1
+        self.cam = cam
+        self.geom = frontend.geom
+        self.n_slots = frontend.n_slots_padded
+        self.valid = valid
+        self.kp_xy_raw = np.stack([xs, ys], axis=1)
+        self.octave = octave
+        self.angle = angle
+        self.response = response
+        self.desc = desc
+        self.u_right = u_right if u_right is not None \
+            else np.full(self.n_slots, -1.0, np.float32)
+        self.depth = depth if depth is not None \
+            else np.full(self.n_slots, -1.0, np.float32)
+        self._dev = dict(dev_cache) if dev_cache is not None else {}
+        self.kp_xy = undistort_points(
+            self.kp_xy_raw, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.k1, cam.k2, cam.p1, cam.p2, cam.k3).astype(np.float32)
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.pose_set = False
+        self.map_points = np.full(self.n_slots, -1, np.int32)
+        self.outlier = np.zeros(self.n_slots, bool)
+        self.ref_kf = -1
+        return self
+
+    # ------------------------------------------------------------------
     def dev(self, name: str):
         """Device copy of an immutable per-frame array, uploaded once.
         Only for fields that never change after construction (kp_xy, octave,

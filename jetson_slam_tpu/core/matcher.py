@@ -47,8 +47,7 @@ def rotation_consistency(rot_deg, matched):
     return matched & jnp.take(keep_bin, bin_i)
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
-def search_by_projection_last(
+def _search_by_projection_last_impl(
     Rcw, tcw,
     last_pw, last_has_pt, last_octave, last_angle, last_desc, last_is_stereo,
     cur_xy, cur_octave, cur_angle, cur_desc, cur_valid, cur_ur,
@@ -112,8 +111,11 @@ def search_by_projection_last(
     return out, matched
 
 
-@jax.jit
-def frustum_check(pw, pn, max_dist_raw, min_dist_raw, Rcw, tcw, Ow,
+search_by_projection_last = partial(jax.jit, static_argnames=("n_levels",))(
+    _search_by_projection_last_impl)
+
+
+def _frustum_check_impl(pw, pn, max_dist_raw, min_dist_raw, Rcw, tcw, Ow,
                   fx, fy, cx, cy, min_x, max_x, min_y, max_y,
                   n_levels, log_scale, view_cos_th, alive):
     """Batch MapPoint visibility (spec: tracking_isinfrustum.cu:19-110).
@@ -143,8 +145,10 @@ def frustum_check(pw, pn, max_dist_raw, min_dist_raw, Rcw, tcw, Ow,
     return ok, u, v, invz, level, view_cos
 
 
-@partial(jax.jit, static_argnames=("n_levels", "fuse"))
-def search_by_projection_points(
+frustum_check = jax.jit(_frustum_check_impl)
+
+
+def _search_by_projection_points_impl(
     u, v, ur_proj, pred_level, view_cos, pt_ok, pt_desc,
     cur_xy, cur_octave, cur_desc, cur_valid, cur_ur, cur_free,
     th, scale_factors, n_levels: int, nn_ratio=0.8, fuse: bool = False,
@@ -204,8 +208,12 @@ def search_by_projection_points(
     return out
 
 
-@partial(jax.jit, static_argnames=("n_levels", "forward", "backward"))
-def motion_model_track(
+search_by_projection_points = partial(
+    jax.jit, static_argnames=("n_levels", "fuse"))(
+        _search_by_projection_points_impl)
+
+
+def _motion_model_track_impl(
     Rcw, tcw,
     last_pw, last_has_pt, last_real,
     last_octave, last_angle, last_desc, last_ur,
@@ -229,7 +237,7 @@ def motion_model_track(
     last_is_stereo = last_ur >= 0
 
     def search(thv):
-        out, _ = search_by_projection_last(
+        out, _ = _search_by_projection_last_impl(
             Rcw, tcw, last_pw, last_has_pt, last_octave, last_angle,
             last_desc, last_is_stereo, cur_xy, cur_octave, cur_angle,
             cur_desc, cur_valid, cur_ur, thv, scale_factors, n_levels,
@@ -255,8 +263,12 @@ def motion_model_track(
     return m, n_match, R, t, inlier, n_map
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
-def local_map_track(
+motion_model_track = partial(
+    jax.jit, static_argnames=("n_levels", "forward", "backward"))(
+        _motion_model_track_impl)
+
+
+def _local_map_track_impl(
     cand_pos, cand_normal, cand_maxd, cand_mind, cand_desc, cand_alive,
     Rcw, tcw, Ow,
     cur_xy, cur_octave, cur_desc, cur_valid, cur_ur, cur_free,
@@ -275,12 +287,12 @@ def local_map_track(
     """
     from .optimizer import _pose_optimization
 
-    ok, u, v, invz, lvl, vcos = frustum_check(
+    ok, u, v, invz, lvl, vcos = _frustum_check_impl(
         cand_pos, cand_normal, cand_maxd, cand_mind, Rcw, tcw, Ow,
         fx, fy, cx, cy, min_x, max_x, min_y, max_y,
         n_levels, log_scale, 0.5, cand_alive)
     ur_proj = u - bf * invz
-    sel = search_by_projection_points(
+    sel = _search_by_projection_points_impl(
         u, v, ur_proj, lvl, vcos, ok, cand_desc,
         cur_xy, cur_octave, cur_desc, cur_valid, cur_ur, cur_free,
         th, scale_factors, n_levels)
@@ -298,6 +310,10 @@ def local_map_track(
             fx, fy, cx, cy, bf)
     n_map = jnp.sum((inlier & has_real).astype(jnp.int32))
     return ok, sel, R, t, inlier, n_map
+
+
+local_map_track = partial(jax.jit, static_argnames=("n_levels",))(
+    _local_map_track_impl)
 
 
 @jax.jit

@@ -31,7 +31,7 @@ class TrackingState(enum.Enum):
 class Tracker:
     def __init__(self, frontend, cam, map_store: MapStore, sensor="stereo",
                  local_mapper=None, min_frames=0, max_frames=None,
-                 database=None, map_lock=None):
+                 database=None, map_lock=None, fused=True):
         self.frontend = frontend
         self.cam = cam
         self.map = map_store
@@ -68,9 +68,22 @@ class Tracker:
         # temp "visual odometry" points attached to the last frame
         self._last_temp_world = None
         self._last_temp_flag = None
+        # fused whole-frame device step (core/fused_track.py): one device
+        # round-trip per steady-state stereo frame.  Requires rectified
+        # input (kp undistortion must be the identity) — gated per frame.
+        self.fused = bool(fused)
+        self._spec = None          # speculated local-map candidates (device)
+        self._spec_pid = None      # host copy of candidate pids
+        self.fused_frames = 0      # frames tracked via the fused fast path
 
     # ================================================================ api
     def track_stereo(self, left, right, timestamp):
+        if self.fused:
+            out = self._dispatch_fused(left, right, timestamp)
+            if out is not None:
+                frame, fused = out
+                with self._map_lock:
+                    return self._track_locked(frame, fused)
         frame = Frame(self.frontend, self.cam, timestamp, left, right_img=right)
         return self._track(frame)
 
@@ -89,7 +102,7 @@ class Tracker:
         with self._map_lock:
             return self._track_locked(frame)
 
-    def _track_locked(self, frame: Frame):
+    def _track_locked(self, frame: Frame, fused=None):
         if self.local_mapper is not None:
             self.local_mapper.tick()
         if self.state == TrackingState.NO_IMAGES_YET:
@@ -102,20 +115,35 @@ class Tracker:
                 self._stereo_initialization(frame)
         else:
             ok = False
-            if self.state == TrackingState.OK:
-                if self.velocity is None or \
-                        frame.frame_id < self.last_reloc_frame_id + 2:
-                    ok = self._track_reference_keyframe(frame)
-                else:
-                    ok = self._track_with_motion_model(frame)
-                    if not ok:
-                        ok = self._track_reference_keyframe(frame)
+            if self.state == TrackingState.OK and fused is not None and \
+                    fused.n_match >= 20 and fused.n_map1 >= 10:
+                # fused whole-frame step succeeded on device; apply both
+                # stages' results (motion-model semantics already verified
+                # inside the program, Tracking.cpp:1070/1110 gates above)
+                self._apply_last_matches(frame, fused.m)
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = fused.R1
+                T[:3, 3] = fused.t1
+                frame.set_pose(T)
+                frame.outlier = (fused.m >= 0) & ~fused.inl1
+                frame.ref_kf = self.ref_kf
+                ok = self._consume_fused_local(frame, fused)
             else:
-                ok = self._relocalization(frame)
+                if self.state == TrackingState.OK:
+                    if self.velocity is None or \
+                            frame.frame_id < self.last_reloc_frame_id + 2:
+                        ok = self._track_reference_keyframe(frame)
+                    else:
+                        ok = (fused is None and
+                              self._track_with_motion_model(frame))
+                        if not ok:
+                            ok = self._track_reference_keyframe(frame)
+                else:
+                    ok = self._relocalization(frame)
 
-            frame.ref_kf = self.ref_kf
-            if ok:
-                ok = self._track_local_map(frame)
+                frame.ref_kf = self.ref_kf
+                if ok:
+                    ok = self._track_local_map(frame)
             self.state = TrackingState.OK if ok else TrackingState.LOST
 
             if ok:
@@ -150,7 +178,170 @@ class Tracker:
                 (frame.timestamp, frame.Tcw.copy(), frame.ref_kf,
                  self.state == TrackingState.LOST, self._last_rel_pose))
         self.last_frame = frame
+        if self.fused and self.sensor == "stereo" and \
+                self.state == TrackingState.OK:
+            self._speculate_candidates(frame)
+        else:
+            self._spec = None
         return self.state, frame
+
+    # ============================================== fused whole-frame step
+    def _fused_preconditions(self):
+        cam = self.cam
+        return (self.state == TrackingState.OK
+                and self.velocity is not None
+                and self.last_frame is not None
+                and self.last_frame.pose_set
+                and self._spec is not None
+                and Frame._next_id >= self.last_reloc_frame_id + 2
+                # fused kp coords skip host undistortion; require rectified
+                and cam.k1 == 0 and cam.k2 == 0 and cam.p1 == 0
+                and cam.p2 == 0 and cam.k3 == 0)
+
+    def _dispatch_fused(self, left, right, timestamp):
+        """Prepare inputs under the map lock, then run the whole tracking
+        step as ONE device program with ONE pull (core/fused_track.py).
+        Returns (frame, FusedTrackResult) or None when preconditions fail."""
+        from .fused_track import fused_stereo_track
+        with self._map_lock:
+            if not self._fused_preconditions():
+                return None
+            self._update_last_frame()
+            lf = self.last_frame
+            m = self.map
+            pred = (self.velocity @ lf.Tcw).astype(np.float32)
+            has_real = lf.map_points >= 0
+            pw = np.zeros((lf.n_slots, 3), np.float32)
+            pw[has_real] = m.pt_pos[lf.map_points[has_real]]
+            alive = np.zeros(lf.n_slots, bool)
+            alive[has_real] = m.pt_alive[lf.map_points[has_real]]
+            has_pt = alive.copy()
+            if self._last_temp_flag is not None:
+                has_pt |= self._last_temp_flag
+                tf = self._last_temp_flag
+                pw[tf] = self._last_temp_world[tf]
+            last_state = {
+                "pw": pw, "has_pt": has_pt, "real": alive,
+                "pid": np.where(alive, lf.map_points, -1).astype(np.int32),
+                "octave": lf.dev("octave"), "angle": lf.dev("angle"),
+                "desc": lf.dev("desc"), "ur": lf.dev("u_right"),
+            }
+            cand = self._spec
+        # device dispatch + the single pull run OUTSIDE the lock so the
+        # async mapping worker overlaps (core/pipeline.py)
+        mb = self.cam.bf / self.cam.fx
+        tz = float(self.velocity[2, 3])  # == (Tcw_pred @ lf.Twc)[2, 3]
+        th = 7.0
+        pulled, dev_cache, fz = fused_stereo_track(
+            self.frontend, left, right, self.cam.bf, mb, pred, last_state,
+            cand, th, 1.0, self.scale_factors, self.inv_level_sigma2,
+            (self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
+             mb, self.min_x, self.max_x, self.min_y, self.max_y,
+             self.log_scale, self.n_levels),
+            forward=tz > mb, backward=-tz > mb)
+        (valid, xs, ys, octave, angle, response, desc, u_r, depth) = pulled
+        frame = Frame.from_arrays(
+            self.frontend, self.cam, timestamp, valid, xs, ys, octave,
+            angle, response, desc, u_right=u_r, depth=depth,
+            dev_cache=dev_cache)
+        return frame, fz
+
+    def _consume_fused_local(self, frame: Frame, fz):
+        """Apply the fused step's local-map stage results: the post-pull half
+        of _track_local_map (bookkeeping, gates) with device outputs already
+        in hand."""
+        m = self.map
+        # reference-KF vote on the motion-model matches (classic semantics:
+        # UpdateLocalKeyFrames runs before the local search)
+        local_kfs = self._local_keyframes(frame)
+        if len(local_kfs) == 0:
+            return False
+        cur_pids = frame.map_points[frame.map_points >= 0]
+        m.pt_visible[cur_pids] += 1
+        frame.temp_flag = np.zeros(frame.n_slots, bool)  # temp VO pts drop
+        cand_pid = self._spec_pid
+        m.pt_visible[cand_pid[fz.ok]] += 1
+        cur = np.flatnonzero(fz.sel >= 0)
+        frame.map_points[cur] = cand_pid[fz.sel[cur]]
+        # candidates were speculated BEFORE any concurrent mapping commit:
+        # drop matches to points culled since upload
+        mp = frame.map_points
+        dead = (mp >= 0) & ~m.pt_alive[np.maximum(mp, 0)]
+        mp[dead] = -1
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = fz.R2
+        T[:3, 3] = fz.t2
+        frame.set_pose(T)
+        frame.outlier = (frame.map_points >= 0) & ~fz.inl2
+        self.fused_frames += 1
+        # identical tail to _track_local_map
+        has = (frame.map_points >= 0) & ~frame.outlier
+        m.pt_found[frame.map_points[has]] += 1
+        self.matches_inliers = int(
+            (has & (m.pt_nobs[np.maximum(frame.map_points, 0)] > 0)).sum())
+        if frame.frame_id < self.last_reloc_frame_id + self.max_frames and \
+                self.matches_inliers < 50:
+            return False
+        return self.matches_inliers >= 10
+
+    def _speculate_candidates(self, frame: Frame):
+        """Upload next frame's local-map candidate set: points observed by
+        the keyframes covisible with THIS frame's final associations.  The
+        classic path re-votes on the next frame's motion matches
+        (Tracking::UpdateLocalKeyFrames); consecutive frames share almost
+        all associations, so this one-frame-stale candidate set plus the
+        on-device in-frame exclusion (fused_track.py) reproduces the same
+        search set in practice."""
+        import jax.numpy as jnp
+        m = self.map
+        has = frame.map_points >= 0
+        pids = frame.map_points[has]
+        pids = pids[m.pt_alive[pids]]
+        if len(pids) == 0:
+            self._spec = None
+            return
+        seen = np.zeros(m.max_points, bool)
+        seen[pids] = True
+        votes = (seen[np.where(m.kf_obs >= 0, m.kf_obs, 0)]
+                 & (m.kf_obs >= 0)).sum(1)
+        votes = votes * m.kf_alive
+        local = np.flatnonzero(votes > 0)
+        if len(local) == 0:
+            self._spec = None
+            return
+        local = local[np.argsort(-votes[local], kind="stable")]
+        out = list(local[:80])
+        for k in local[:20]:
+            neigh, _ = m.covisible_keyframes(int(k), n=10)
+            for nk in neigh:
+                if nk not in out:
+                    out.append(int(nk))
+                    if len(out) >= 80:
+                        break
+            if len(out) >= 80:
+                break
+        obs = m.kf_obs[np.asarray(out, np.int64)]
+        cand = np.unique(obs[obs >= 0])
+        cand = cand[m.pt_alive[cand]]
+        if len(cand) == 0:
+            self._spec = None
+            return
+        # same power-of-two bucketing as _track_local_map (bounds recompiles)
+        cap = 1 << max(int(np.ceil(np.log2(max(len(cand), 128)))), 7)
+        pad = cap - len(cand)
+        idx = np.concatenate([cand, np.zeros(pad, np.int64)])
+        alive = np.concatenate([np.ones(len(cand), bool),
+                                np.zeros(pad, bool)])
+        self._spec_pid = idx.astype(np.int32)
+        self._spec = {
+            "pos": jnp.asarray(m.pt_pos[idx]),
+            "normal": jnp.asarray(m.pt_normal[idx]),
+            "maxd": jnp.asarray(m.pt_max_dist[idx]),
+            "mind": jnp.asarray(m.pt_min_dist[idx]),
+            "desc": jnp.asarray(m.pt_desc[idx]),
+            "alive": jnp.asarray(alive),
+            "pid": jnp.asarray(np.where(alive, idx, -1).astype(np.int32)),
+        }
 
     # ==================================================== initialization
     def _stereo_initialization(self, frame: Frame):

@@ -27,3 +27,17 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches():
+    """Drop compiled executables between test modules.
+
+    Most jitted entry points are keyed on an OrbFrontend/module instance
+    (static argnum), so cross-module cache reuse is near zero — but the
+    cache still pins every dead instance's executables.  After ~70 tests
+    the accumulated XLA:CPU JIT state made a later large fused-program
+    compile segfault inside LLVM; clearing per module keeps the compiler
+    arena bounded without measurable recompile cost."""
+    yield
+    jax.clear_caches()

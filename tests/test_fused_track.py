@@ -1,0 +1,66 @@
+"""Fused whole-frame tracking step (core/fused_track.py).
+
+The steady-state stereo tracking step must run as ONE device program with
+ONE host pull and produce the same trajectory quality as the classic
+3-round-trip path (motion model + local map dispatched separately).
+"""
+import numpy as np
+
+from jetson_slam_tpu.core.tracking import TrackingState
+from jetson_slam_tpu.io.evaluation import ate_rmse
+from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+
+from tests.test_slam_e2e import make_system, run_sequence
+
+
+def _run(seq, fused):
+    slam = make_system(seq)
+    slam.tracker.fused = fused
+    states = run_sequence(slam, seq)
+    est_ts, est_poses = slam.camera_trajectory()
+    ate = ate_rmse(np.asarray(est_ts), np.asarray(est_poses),
+                   seq.timestamps, seq.poses_twc)
+    return slam, states, ate
+
+
+def test_fused_path_engages_and_matches_classic():
+    seq = make_stereo_sequence(seed=11, n_frames=25, h=240, w=320,
+                               trajectory="arc", n_points=900)
+    slam_f, states_f, ate_f = _run(seq, fused=True)
+    slam_c, states_c, ate_c = _run(seq, fused=False)
+
+    ok_f = sum(s == TrackingState.OK for s in states_f)
+    assert ok_f >= len(states_f) - 2, f"fused tracking lost: {states_f}"
+    # the fused fast path must actually carry the steady state: all frames
+    # except init + the first post-init frame (velocity not yet set)
+    assert slam_f.tracker.fused_frames >= len(states_f) - 4, \
+        f"fused path used on only {slam_f.tracker.fused_frames} frames"
+    assert slam_c.tracker.fused_frames == 0
+
+    # same accuracy class as the classic path (speculated candidates are
+    # one frame stale; gates/constants identical)
+    assert ate_f < 0.05, f"fused ATE {ate_f}"
+    assert ate_f <= max(2.0 * ate_c, 0.02), (ate_f, ate_c)
+
+
+def test_fused_falls_back_when_motion_fails():
+    """A teleport (velocity model wildly wrong) must drop to the classic
+    reference-KF path instead of accepting a bad fused solution."""
+    seq = make_stereo_sequence(seed=13, n_frames=12, h=240, w=320,
+                               trajectory="arc", n_points=900)
+    slam = make_system(seq)
+    states = run_sequence(slam, seq, n=8)
+    assert states[-1] == TrackingState.OK
+    tr = slam.tracker
+    used_before = tr.fused_frames
+    assert used_before > 0
+    # corrupt the velocity: the fused motion stage should fail its gates and
+    # the frame should be recovered by _track_reference_keyframe
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, 3] = (5.0, 5.0, 5.0)
+    tr.velocity = bad
+    state, frame = slam.track_stereo(seq.lefts[8], seq.rights[8],
+                                     seq.timestamps[8])
+    assert state == TrackingState.OK
+    assert tr.fused_frames == used_before  # fused consume did not run
+    slam.shutdown()
