@@ -84,8 +84,15 @@ class Frame:
         self.desc = desc
         self._left_result = left
 
+        self.kp_xy = undistort_points(
+            self.kp_xy_raw, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.k1, cam.k2, cam.p1, cam.p2, cam.k3).astype(np.float32)
+
         if right_img is None and depth_img is not None:
-            # RGB-D: virtual right coordinate (Frame.cpp:996-1017)
+            # RGB-D: virtual right coordinate (Frame.cpp:996-1017).  Depth
+            # is sampled at the RAW keypoint (kp.pt), the virtual right
+            # coordinate uses the UNDISTORTED x (kpU.pt.x - mbf/d) — both
+            # per the reference's ComputeStereoFromRGBD
             d = np.asarray(depth_img)
             xs = np.clip(self.kp_xy_raw[:, 0].astype(np.int64), 0, d.shape[1] - 1)
             ys = np.clip(self.kp_xy_raw[:, 1].astype(np.int64), 0, d.shape[0] - 1)
@@ -93,12 +100,8 @@ class Frame:
             pos = (z > 0) & self.valid
             self.depth = np.where(pos, z, -1.0).astype(np.float32)
             self.u_right = np.where(
-                pos, self.kp_xy_raw[:, 0] - cam.bf / np.maximum(z, 1e-6), -1.0
+                pos, self.kp_xy[:, 0] - cam.bf / np.maximum(z, 1e-6), -1.0
             ).astype(np.float32)
-
-        self.kp_xy = undistort_points(
-            self.kp_xy_raw, cam.fx, cam.fy, cam.cx, cam.cy,
-            cam.k1, cam.k2, cam.p1, cam.p2, cam.k3).astype(np.float32)
 
         # pose (world -> camera), set by the tracker
         self.Tcw = np.eye(4, dtype=np.float32)

@@ -9,13 +9,17 @@ Each host<->device hop there is cheap on an integrated GPU; on TPU a
 round-trip costs transport latency, so this module fuses the ENTIRE steady
 -state tracking step into a single XLA program:
 
-    front-end (both eyes) -> stereo match -> motion-model search + pose LM
+    front-end -> [stereo match | RGB-D virtual-right | mono]
+    -> keypoint undistortion (when the lens model is non-trivial)
+    -> motion-model search + pose LM
     -> local-map frustum + search + pose LM
 
-with exactly one `jax.device_get` per frame.  The only information the
-device step needs from the host is (a) the previous frame's per-slot state
-(world points, descriptors, pids) and (b) a *speculated* local-map candidate
-set, both uploaded asynchronously before dispatch.
+with exactly one `jax.device_get` per frame, for all three sensor modes
+(System::TrackStereo/TrackRGBD/TrackMonocular parity).  The only
+information the device step needs from the host is (a) the previous
+frame's per-slot state (world points, descriptors, pids) and (b) a
+*speculated* local-map candidate set, both uploaded asynchronously before
+dispatch.
 
 Speculation: the reference re-derives the local keyframe set from the
 CURRENT frame's matches (Tracking::UpdateLocalKeyFrames) before searching.
@@ -58,9 +62,30 @@ class FusedTrackResult:
     n_map2: int
 
 
-@partial(jax.jit, static_argnums=0, static_argnames=("n_levels",))
-def _fused_stereo_track_jit(
-    fe, T, left_u8, right_u8, mbf, min_z,
+def _undistort_device(xy, fx, fy, cx, cy, k1, k2, p1, p2, k3, iters=5):
+    """Fixed-iteration undistortion, same scheme as core.frame
+    .undistort_points (cv::undistortPoints semantics) but traceable —
+    needed so the matchers inside the fused program see undistorted
+    keypoint coordinates on distorted-lens configs (e.g. TUM RGB-D)."""
+    x = (xy[:, 0] - cx) / fx
+    y = (xy[:, 1] - cy) / fy
+    x0, y0 = x, y
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1 + k1 * r2 + k2 * r2 ** 2 + k3 * r2 ** 3
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        x = (x0 - dx) / radial
+        y = (y0 - dy) / radial
+    return jnp.stack([x * fx + cx, y * fy + cy], axis=1)
+
+
+@partial(jax.jit, static_argnums=0,
+         static_argnames=("n_levels", "mode", "undistort"))
+def _fused_track_jit(
+    fe, T, img_a, img_b, mbf, min_z,
+    # lens model (traced; `undistort` statically gates the iteration)
+    k1, k2, p1, p2, k3,
     # velocity-predicted pose
     Rcw, tcw,
     # last-frame per-slot state
@@ -72,15 +97,40 @@ def _fused_stereo_track_jit(
     # scalars / tables
     th_mm, th_lm, scale_factors, inv_level_sigma2,
     fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y, log_scale,
-    n_levels: int, forward, backward,
+    n_levels: int, forward, backward, mode: str, undistort: bool,
 ):
     # forward/backward ride as traced booleans (jnp.where inside the octave
     # gating) so every candidate-size bucket compiles exactly ONE program
     # instead of one per motion-direction combination.
-    # ---- front-end: ORB both eyes + stereo matching (already one program)
-    cur, _right, u_r, depth, _dist = fe._frame_step_impl(
-        T, left_u8, right_u8, mbf, min_z)
+
+    # ---- front-end per sensor mode
+    if mode == "stereo":
+        # ORB both eyes + dense stereo matching, already one program
+        cur, _right, u_r, depth, _dist = fe._frame_step_impl(
+            T, img_a, img_b, mbf, min_z)
+    else:
+        res, _raw = fe._extract_batch_core(T, img_a[None])
+        cur = jax.tree_util.tree_map(lambda a: a[0], res)
+
     cur_xy = jnp.stack([cur.xs, cur.ys], axis=1)
+    if undistort:
+        cur_xy = _undistort_device(cur_xy, fx, fy, cx, cy, k1, k2, p1, p2, k3)
+
+    if mode == "rgbd":
+        # depth -> virtual right coordinate (Frame.cpp:996-1017): depth is
+        # sampled at the RAW keypoint, the virtual right coordinate uses
+        # the UNDISTORTED x (kpU.pt.x - mbf/d), like ComputeStereoFromRGBD
+        H0, W0 = img_b.shape
+        xi = jnp.clip(cur.xs.astype(jnp.int32), 0, W0 - 1)
+        yi = jnp.clip(cur.ys.astype(jnp.int32), 0, H0 - 1)
+        z = jnp.take(img_b.reshape(-1), yi * W0 + xi)
+        pos = (z > 0) & cur.valid
+        depth = jnp.where(pos, z, -1.0).astype(jnp.float32)
+        u_r = jnp.where(pos, cur_xy[:, 0] - mbf / jnp.maximum(z, 1e-6),
+                        -1.0).astype(jnp.float32)
+    elif mode == "mono":
+        u_r = jnp.full_like(cur.xs, -1.0)
+        depth = jnp.full_like(cur.xs, -1.0)
 
     # ---- motion-model stage (TrackWithMotionModel semantics)
     m, n_match, R1, t1, inl1, n_map1 = _motion_model_track_impl(
@@ -121,15 +171,16 @@ def _fused_stereo_track_jit(
             ok, sel, R2, t2, inl2, n_map2)
 
 
-def fused_stereo_track(fe, left_u8, right_u8, mbf, min_z, pred_Tcw,
-                       last_state, cand, th_mm, th_lm, scale_factors,
-                       inv_level_sigma2, cam_params, forward, backward):
+def fused_track(fe, cam, imgs, mode, mbf, min_z, pred_Tcw,
+                last_state, cand, th_mm, th_lm, scale_factors,
+                inv_level_sigma2, cam_params, forward, backward):
     """Dispatch the fused step and pull EVERYTHING in one device_get.
 
-    last_state: dict with pw/has_pt/real/pid/octave/angle/desc/ur arrays
-    (numpy or device).  cand: dict with pos/normal/maxd/mind/desc/alive/pid
-    device arrays (padded).  cam_params: (fx, fy, cx, cy, bf, mb, min_x,
-    max_x, min_y, max_y, log_scale, n_levels).
+    imgs: (left, right) for stereo, (gray, depth_f32) for rgbd, (gray,)
+    for mono.  last_state: dict with pw/has_pt/real/pid/octave/angle/desc/
+    ur arrays (numpy or device).  cand: dict with pos/normal/maxd/mind/
+    desc/alive/pid device arrays (padded).  cam_params: (fx, fy, cx, cy,
+    bf, mb, min_x, max_x, min_y, max_y, log_scale, n_levels).
 
     Returns (pulled_frontend, dev_cache, FusedTrackResult) where
     pulled_frontend = (valid, xs, ys, octave, angle, response, desc, u_r,
@@ -138,9 +189,14 @@ def fused_stereo_track(fe, left_u8, right_u8, mbf, min_z, pred_Tcw,
     """
     (fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y, log_scale,
      n_levels) = cam_params
-    out = _fused_stereo_track_jit(
-        fe, fe._tables, jnp.asarray(left_u8), jnp.asarray(right_u8),
+    undistort = not (cam.k1 == 0 and cam.k2 == 0 and cam.p1 == 0
+                     and cam.p2 == 0 and cam.k3 == 0)
+    img_a = jnp.asarray(imgs[0])
+    img_b = jnp.asarray(imgs[1]) if len(imgs) > 1 else img_a
+    out = _fused_track_jit(
+        fe, fe._tables, img_a, img_b,
         jnp.float32(mbf), jnp.float32(min_z),
+        cam.k1, cam.k2, cam.p1, cam.p2, cam.k3,
         jnp.asarray(pred_Tcw[:3, :3]), jnp.asarray(pred_Tcw[:3, 3]),
         jnp.asarray(last_state["pw"]), jnp.asarray(last_state["has_pt"]),
         jnp.asarray(last_state["real"]), jnp.asarray(last_state["pid"]),
@@ -151,7 +207,9 @@ def fused_stereo_track(fe, left_u8, right_u8, mbf, min_z, pred_Tcw,
         float(th_mm), float(th_lm),
         scale_factors, inv_level_sigma2,
         fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y, log_scale,
-        int(n_levels), jnp.asarray(bool(forward)), jnp.asarray(bool(backward)))
+        n_levels=int(n_levels), forward=jnp.asarray(bool(forward)),
+        backward=jnp.asarray(bool(backward)), mode=mode,
+        undistort=undistort)
     (cur, u_r_dev, depth_dev,
      m, n_match, R1, t1, inl1, n_map1,
      ok, sel, R2, t2, inl2, n_map2) = out

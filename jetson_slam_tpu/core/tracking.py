@@ -69,8 +69,8 @@ class Tracker:
         self._last_temp_world = None
         self._last_temp_flag = None
         # fused whole-frame device step (core/fused_track.py): one device
-        # round-trip per steady-state stereo frame.  Requires rectified
-        # input (kp undistortion must be the identity) — gated per frame.
+        # round-trip per steady-state frame, all sensor modes; keypoint
+        # undistortion runs on device for distorted-lens configs.
         self.fused = bool(fused)
         self._spec = None          # speculated local-map candidates (device)
         self._spec_pid = None      # host copy of candidate pids
@@ -79,7 +79,7 @@ class Tracker:
     # ================================================================ api
     def track_stereo(self, left, right, timestamp):
         if self.fused:
-            out = self._dispatch_fused(left, right, timestamp)
+            out = self._dispatch_fused((left, right), timestamp, "stereo")
             if out is not None:
                 frame, fused = out
                 with self._map_lock:
@@ -88,10 +88,23 @@ class Tracker:
         return self._track(frame)
 
     def track_rgbd(self, rgb, depth, timestamp):
+        if self.fused:
+            out = self._dispatch_fused(
+                (rgb, np.asarray(depth, np.float32)), timestamp, "rgbd")
+            if out is not None:
+                frame, fused = out
+                with self._map_lock:
+                    return self._track_locked(frame, fused)
         frame = Frame(self.frontend, self.cam, timestamp, rgb, depth_img=depth)
         return self._track(frame)
 
     def track_monocular(self, img, timestamp):
+        if self.fused:
+            out = self._dispatch_fused((img,), timestamp, "mono")
+            if out is not None:
+                frame, fused = out
+                with self._map_lock:
+                    return self._track_locked(frame, fused)
         frame = Frame(self.frontend, self.cam, timestamp, img)
         return self._track(frame)
 
@@ -178,8 +191,7 @@ class Tracker:
                 (frame.timestamp, frame.Tcw.copy(), frame.ref_kf,
                  self.state == TrackingState.LOST, self._last_rel_pose))
         self.last_frame = frame
-        if self.fused and self.sensor == "stereo" and \
-                self.state == TrackingState.OK:
+        if self.fused and self.state == TrackingState.OK:
             self._speculate_candidates(frame)
         else:
             self._spec = None
@@ -187,22 +199,18 @@ class Tracker:
 
     # ============================================== fused whole-frame step
     def _fused_preconditions(self):
-        cam = self.cam
         return (self.state == TrackingState.OK
                 and self.velocity is not None
                 and self.last_frame is not None
                 and self.last_frame.pose_set
                 and self._spec is not None
-                and Frame._next_id >= self.last_reloc_frame_id + 2
-                # fused kp coords skip host undistortion; require rectified
-                and cam.k1 == 0 and cam.k2 == 0 and cam.p1 == 0
-                and cam.p2 == 0 and cam.k3 == 0)
+                and Frame._next_id >= self.last_reloc_frame_id + 2)
 
-    def _dispatch_fused(self, left, right, timestamp):
+    def _dispatch_fused(self, imgs, timestamp, mode):
         """Prepare inputs under the map lock, then run the whole tracking
         step as ONE device program with ONE pull (core/fused_track.py).
         Returns (frame, FusedTrackResult) or None when preconditions fail."""
-        from .fused_track import fused_stereo_track
+        from .fused_track import fused_track
         with self._map_lock:
             if not self._fused_preconditions():
                 return None
@@ -231,14 +239,17 @@ class Tracker:
         # async mapping worker overlaps (core/pipeline.py)
         mb = self.cam.bf / self.cam.fx
         tz = float(self.velocity[2, 3])  # == (Tcw_pred @ lf.Twc)[2, 3]
-        th = 7.0
-        pulled, dev_cache, fz = fused_stereo_track(
-            self.frontend, left, right, self.cam.bf, mb, pred, last_state,
-            cand, th, 1.0, self.scale_factors, self.inv_level_sigma2,
+        th = 7.0 if mode in ("stereo", "rgbd") else 15.0
+        mono = mode == "mono"
+        pulled, dev_cache, fz = fused_track(
+            self.frontend, self.cam, imgs, mode, self.cam.bf, mb, pred,
+            last_state, cand, th, 1.0, self.scale_factors,
+            self.inv_level_sigma2,
             (self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
              mb, self.min_x, self.max_x, self.min_y, self.max_y,
              self.log_scale, self.n_levels),
-            forward=tz > mb, backward=-tz > mb)
+            forward=(not mono) and tz > mb,
+            backward=(not mono) and -tz > mb)
         (valid, xs, ys, octave, angle, response, desc, u_r, depth) = pulled
         frame = Frame.from_arrays(
             self.frontend, self.cam, timestamp, valid, xs, ys, octave,

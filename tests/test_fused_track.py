@@ -43,6 +43,22 @@ def test_fused_path_engages_and_matches_classic():
     assert ate_f <= max(2.0 * ate_c, 0.02), (ate_f, ate_c)
 
 
+def test_device_undistortion_matches_host():
+    """_undistort_device (fused program) vs core.frame.undistort_points
+    (host) on TUM1-like coefficients."""
+    import jax.numpy as jnp
+    from jetson_slam_tpu.core.frame import undistort_points
+    from jetson_slam_tpu.core.fused_track import _undistort_device
+    rng = np.random.default_rng(0)
+    xy = rng.uniform((20, 20), (620, 460), size=(256, 2)).astype(np.float32)
+    fx, fy, cx, cy = 517.3, 516.5, 318.6, 255.3
+    k1, k2, p1, p2, k3 = 0.2624, -0.9531, -0.0054, 0.0026, 1.1633
+    host = undistort_points(xy, fx, fy, cx, cy, k1, k2, p1, p2, k3)
+    dev = np.asarray(_undistort_device(jnp.asarray(xy), fx, fy, cx, cy,
+                                       k1, k2, p1, p2, k3))
+    np.testing.assert_allclose(dev, host, atol=2e-2)  # f32 vs f64 chain
+
+
 def test_fused_falls_back_when_motion_fails():
     """A teleport (velocity model wildly wrong) must drop to the classic
     reference-KF path instead of accepting a bad fused solution."""

@@ -40,6 +40,9 @@ def test_rgbd_e2e():
     ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
                    seq.timestamps, seq.poses_twc)
     assert ate < 0.05, f"RGB-D ATE {ate}"
+    # steady state must ride the single-round-trip fused step (rgbd mode)
+    assert slam.tracker.fused_frames >= len(seq.lefts) - 4, \
+        f"fused path used on only {slam.tracker.fused_frames} frames"
 
 
 @pytest.mark.slow
@@ -58,3 +61,5 @@ def test_mono_e2e():
                    seq.timestamps, seq.poses_twc, with_scale=True)
     # mono: Sim(3)-aligned ATE; looser gate (no metric depth)
     assert ate < 0.15, f"mono Sim3-aligned ATE {ate}"
+    # mono steady state rides the fused step too (mono mode)
+    assert slam.tracker.fused_frames > 0, "fused path never engaged"
