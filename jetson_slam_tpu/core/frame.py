@@ -84,9 +84,7 @@ class Frame:
         self.desc = desc
         self._left_result = left
 
-        self.kp_xy = undistort_points(
-            self.kp_xy_raw, cam.fx, cam.fy, cam.cx, cam.cy,
-            cam.k1, cam.k2, cam.p1, cam.p2, cam.k3).astype(np.float32)
+        self._finish_init()
 
         if right_img is None and depth_img is not None:
             # RGB-D: virtual right coordinate (Frame.cpp:996-1017).  Depth
@@ -103,8 +101,14 @@ class Frame:
                 pos, self.kp_xy[:, 0] - cam.bf / np.maximum(z, 1e-6), -1.0
             ).astype(np.float32)
 
-        # pose (world -> camera), set by the tracker
-        self.Tcw = np.eye(4, dtype=np.float32)
+    def _finish_init(self):
+        """Shared tail of __init__ and from_arrays: undistorted keypoint
+        coords + per-slot tracking state (pose set later by the tracker)."""
+        cam = self.cam
+        self.kp_xy = undistort_points(
+            self.kp_xy_raw, cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.k1, cam.k2, cam.p1, cam.p2, cam.k3).astype(np.float32)
+        self.Tcw = np.eye(4, dtype=np.float32)   # world -> camera
         self.pose_set = False
         # per-slot associated map point id (-1 = none) and outlier flag
         self.map_points = np.full(self.n_slots, -1, np.int32)
@@ -138,14 +142,7 @@ class Frame:
         self.depth = depth if depth is not None \
             else np.full(self.n_slots, -1.0, np.float32)
         self._dev = dict(dev_cache) if dev_cache is not None else {}
-        self.kp_xy = undistort_points(
-            self.kp_xy_raw, cam.fx, cam.fy, cam.cx, cam.cy,
-            cam.k1, cam.k2, cam.p1, cam.p2, cam.k3).astype(np.float32)
-        self.Tcw = np.eye(4, dtype=np.float32)
-        self.pose_set = False
-        self.map_points = np.full(self.n_slots, -1, np.int32)
-        self.outlier = np.zeros(self.n_slots, bool)
-        self.ref_kf = -1
+        self._finish_init()
         return self
 
     # ------------------------------------------------------------------

@@ -60,6 +60,11 @@ class FusedTrackResult:
     t2: np.ndarray
     inl2: np.ndarray     # (S,) bool inliers of the final pose LM
     n_map2: int
+    # pt_gen snapshots (set by Tracker._dispatch_fused) — taken when the
+    # last-frame / candidate point data was captured, so the consume step
+    # can detect pids culled + reallocated during the unlocked window
+    last_gen: np.ndarray | None = None
+    spec_gen: np.ndarray | None = None
 
 
 def _undistort_device(xy, fx, fy, cx, cy, k1, k2, p1, p2, k3, iters=5):

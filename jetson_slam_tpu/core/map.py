@@ -34,6 +34,11 @@ class MapStore:
         self.pt_found = np.ones(P, np.int32)     # MapPoint::mnFound (init 1)
         self.pt_first_kf = np.full(P, -1, np.int32)
         self.pt_ref_kf = np.full(P, -1, np.int32)
+        # per-slot generation counter, bumped on every (re)allocation:
+        # _alloc_pt recycles culled pids, so holders of a pid across an
+        # unlocked window (the fused tracking step's dispatch/pull,
+        # core/tracking.py) compare generations to detect reuse
+        self.pt_gen = np.zeros(P, np.int64)
         self._next_pt = 0
 
         # ---- keyframes ----
@@ -59,6 +64,7 @@ class MapStore:
     # ------------------------------------------------------------- points
     def add_point(self, pos, desc, ref_kf, normal=None, min_dist=0.0, max_dist=1.0):
         pid = self._alloc_pt()
+        self.pt_gen[pid] += 1
         self.pt_alive[pid] = True
         self.pt_pos[pid] = pos
         self.pt_desc[pid] = desc

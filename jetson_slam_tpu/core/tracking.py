@@ -74,6 +74,7 @@ class Tracker:
         self.fused = bool(fused)
         self._spec = None          # speculated local-map candidates (device)
         self._spec_pid = None      # host copy of candidate pids
+        self._spec_gen = None      # pt_gen snapshot paired with _spec
         self.fused_frames = 0      # frames tracked via the fused fast path
 
     # ================================================================ api
@@ -218,22 +219,20 @@ class Tracker:
             lf = self.last_frame
             m = self.map
             pred = (self.velocity @ lf.Tcw).astype(np.float32)
-            has_real = lf.map_points >= 0
-            pw = np.zeros((lf.n_slots, 3), np.float32)
-            pw[has_real] = m.pt_pos[lf.map_points[has_real]]
-            alive = np.zeros(lf.n_slots, bool)
-            alive[has_real] = m.pt_alive[lf.map_points[has_real]]
-            has_pt = alive.copy()
-            if self._last_temp_flag is not None:
-                has_pt |= self._last_temp_flag
-                tf = self._last_temp_flag
-                pw[tf] = self._last_temp_world[tf]
+            pw, has_pt, alive = self._last_frame_points()
             last_state = {
                 "pw": pw, "has_pt": has_pt, "real": alive,
                 "pid": np.where(alive, lf.map_points, -1).astype(np.int32),
                 "octave": lf.dev("octave"), "angle": lf.dev("angle"),
                 "desc": lf.dev("desc"), "ur": lf.dev("u_right"),
             }
+            # generation snapshot of the last frame's pids, taken while the
+            # positions above are read: _alloc_pt recycles culled pids, so
+            # a pid culled + reallocated by the concurrent mapper during
+            # the unlocked dispatch/pull window would otherwise pass the
+            # pt_alive recheck in _consume_fused_local while referring to a
+            # different physical point
+            last_gen = m.pt_gen[np.maximum(lf.map_points, 0)].copy()
             cand = self._spec
         # device dispatch + the single pull run OUTSIDE the lock so the
         # async mapping worker overlaps (core/pipeline.py)
@@ -255,6 +254,8 @@ class Tracker:
             self.frontend, self.cam, timestamp, valid, xs, ys, octave,
             angle, response, desc, u_right=u_r, depth=depth,
             dev_cache=dev_cache)
+        fz.last_gen = last_gen
+        fz.spec_gen = self._spec_gen
         return frame, fz
 
     def _consume_fused_local(self, frame: Frame, fz):
@@ -274,11 +275,19 @@ class Tracker:
         m.pt_visible[cand_pid[fz.ok]] += 1
         cur = np.flatnonzero(fz.sel >= 0)
         frame.map_points[cur] = cand_pid[fz.sel[cur]]
-        # candidates were speculated BEFORE any concurrent mapping commit:
-        # drop matches to points culled since upload
+        # the dispatch/pull window ran without the map lock, so the mapper
+        # may have culled points since their data was uploaded — and
+        # _alloc_pt recycles pids, so pt_alive alone cannot detect reuse.
+        # Compare against the generation snapshots taken when the data was
+        # captured (last frame: at dispatch; candidates: at speculation)
+        exp_gen = np.full(frame.n_slots, -1, np.int64)
+        cur_m = np.flatnonzero(fz.m >= 0)
+        exp_gen[cur_m] = fz.last_gen[fz.m[cur_m]]
+        exp_gen[cur] = fz.spec_gen[fz.sel[cur]]
         mp = frame.map_points
-        dead = (mp >= 0) & ~m.pt_alive[np.maximum(mp, 0)]
-        mp[dead] = -1
+        stale = (mp >= 0) & (~m.pt_alive[np.maximum(mp, 0)] |
+                             (m.pt_gen[np.maximum(mp, 0)] != exp_gen))
+        mp[stale] = -1
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = fz.R2
         T[:3, 3] = fz.t2
@@ -303,35 +312,12 @@ class Tracker:
         all associations, so this one-frame-stale candidate set plus the
         on-device in-frame exclusion (fused_track.py) reproduces the same
         search set in practice."""
-        import jax.numpy as jnp
         m = self.map
-        has = frame.map_points >= 0
-        pids = frame.map_points[has]
-        pids = pids[m.pt_alive[pids]]
-        if len(pids) == 0:
+        local_kfs = self._vote_local_kfs(frame)
+        if len(local_kfs) == 0:
             self._spec = None
             return
-        seen = np.zeros(m.max_points, bool)
-        seen[pids] = True
-        votes = (seen[np.where(m.kf_obs >= 0, m.kf_obs, 0)]
-                 & (m.kf_obs >= 0)).sum(1)
-        votes = votes * m.kf_alive
-        local = np.flatnonzero(votes > 0)
-        if len(local) == 0:
-            self._spec = None
-            return
-        local = local[np.argsort(-votes[local], kind="stable")]
-        out = list(local[:80])
-        for k in local[:20]:
-            neigh, _ = m.covisible_keyframes(int(k), n=10)
-            for nk in neigh:
-                if nk not in out:
-                    out.append(int(nk))
-                    if len(out) >= 80:
-                        break
-            if len(out) >= 80:
-                break
-        obs = m.kf_obs[np.asarray(out, np.int64)]
+        obs = m.kf_obs[local_kfs]
         cand = np.unique(obs[obs >= 0])
         cand = cand[m.pt_alive[cand]]
         if len(cand) == 0:
@@ -344,6 +330,9 @@ class Tracker:
         alive = np.concatenate([np.ones(len(cand), bool),
                                 np.zeros(pad, bool)])
         self._spec_pid = idx.astype(np.int32)
+        # generation snapshot paired with the uploaded point data (see
+        # _consume_fused_local's staleness check)
+        self._spec_gen = m.pt_gen[idx].copy()
         self._spec = {
             "pos": jnp.asarray(m.pt_pos[idx]),
             "normal": jnp.asarray(m.pt_normal[idx]),
@@ -475,22 +464,31 @@ class Tracker:
         self._last_temp_world = temp_world
         self._last_temp_flag = temp_flag
 
+    def _last_frame_points(self):
+        """World positions / masks of the last frame's associations incl.
+        temp VO points — the motion-model search inputs, shared by the
+        classic step and the fused dispatch."""
+        lf = self.last_frame
+        m = self.map
+        has_real = lf.map_points >= 0
+        pw = np.zeros((lf.n_slots, 3), np.float32)
+        pw[has_real] = m.pt_pos[lf.map_points[has_real]]
+        alive = np.zeros(lf.n_slots, bool)
+        alive[has_real] = m.pt_alive[lf.map_points[has_real]]
+        has_pt = alive.copy()
+        if self._last_temp_flag is not None:
+            has_pt |= self._last_temp_flag
+            tf = self._last_temp_flag
+            pw[tf] = self._last_temp_world[tf]
+        return pw, has_pt, alive
+
     def _track_with_motion_model(self, frame: Frame):
         """Tracking::TrackWithMotionModel (Tracking.cpp:1030-1115)."""
         self._update_last_frame()
         lf = self.last_frame
         frame.set_pose(self.velocity @ lf.Tcw)
 
-        has_real = lf.map_points >= 0
-        pw = np.zeros((lf.n_slots, 3), np.float32)
-        pw[has_real] = self.map.pt_pos[lf.map_points[has_real]]
-        alive = np.zeros(lf.n_slots, bool)
-        alive[has_real] = self.map.pt_alive[lf.map_points[has_real]]
-        has_pt = alive.copy()
-        if self._last_temp_flag is not None:
-            has_pt |= self._last_temp_flag
-            pw[self._last_temp_flag] = self._last_temp_world[self._last_temp_flag]
-
+        pw, has_pt, alive = self._last_frame_points()
         last_real = alive
         th = 7.0 if self.sensor in ("stereo", "rgbd") else 15.0
         tlc = (frame.Tcw @ lf.Twc)[:3, 3]
@@ -598,8 +596,12 @@ class Tracker:
         return n_map >= 10
 
     # ================================================== local map
-    def _local_keyframes(self, frame):
-        """Tracking::UpdateLocalKeyFrames (covisibility vote, cap 80)."""
+    def _vote_local_kfs(self, frame):
+        """Covisibility vote over the frame's current associations
+        (Tracking::UpdateLocalKeyFrames core): keyframes observing the
+        frame's map points, best-first, plus top-10 covisible neighbors of
+        the top-20, capped at 80.  Shared by the classic local-map step
+        (_local_keyframes) and next-frame candidate speculation."""
         m = self.map
         has = frame.map_points >= 0
         pids = frame.map_points[has]
@@ -611,8 +613,9 @@ class Tracker:
         votes = (seen[np.where(m.kf_obs >= 0, m.kf_obs, 0)] & (m.kf_obs >= 0)).sum(1)
         votes = votes * m.kf_alive
         local = np.flatnonzero(votes > 0)
+        if len(local) == 0:
+            return np.array([], np.int64)
         local = local[np.argsort(-votes[local], kind="stable")]
-        # add top-10 covisible neighbors of each (cap 80)
         out = list(local[:80])
         for k in local[:20]:
             neigh, _ = m.covisible_keyframes(int(k), n=10)
@@ -623,10 +626,15 @@ class Tracker:
                         break
             if len(out) >= 80:
                 break
-        if len(local):
-            self.ref_kf = int(local[0])
-            frame.ref_kf = self.ref_kf
         return np.asarray(out, np.int64)
+
+    def _local_keyframes(self, frame):
+        """Tracking::UpdateLocalKeyFrames (vote + reference-KF update)."""
+        out = self._vote_local_kfs(frame)
+        if len(out):
+            self.ref_kf = int(out[0])  # highest-vote keyframe
+            frame.ref_kf = self.ref_kf
+        return out
 
     def _track_local_map(self, frame: Frame):
         """Tracking::TrackLocalMap + SearchLocalPoints (Tracking.cpp:1117-1806)."""

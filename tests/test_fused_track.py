@@ -43,6 +43,39 @@ def test_fused_path_engages_and_matches_classic():
     assert ate_f <= max(2.0 * ate_c, 0.02), (ate_f, ate_c)
 
 
+def test_pid_reuse_during_unlocked_window_is_dropped():
+    """The fused dispatch/pull runs without the map lock; MapStore._alloc_pt
+    recycles culled pids.  A pid culled + REALLOCATED during that window
+    refers to a different physical point — the generation snapshot must
+    drop the association (pt_alive alone would accept it)."""
+    seq = make_stereo_sequence(seed=17, n_frames=10, h=240, w=320,
+                               trajectory="arc", n_points=900)
+    slam = make_system(seq)
+    tr = slam.tracker
+    for i in range(6):
+        slam.track_stereo(seq.lefts[i], seq.rights[i], seq.timestamps[i])
+    out = tr._dispatch_fused((seq.lefts[6], seq.rights[6]),
+                             seq.timestamps[6], "stereo")
+    assert out is not None
+    frame, fz = out
+    # simulate the concurrent mapper culling + reallocating a matched pid
+    m = slam.map
+    cur = np.flatnonzero(fz.sel >= 0)
+    assert len(cur) > 0
+    victim = int(tr._spec_pid[fz.sel[cur[0]]])
+    m.erase_point(victim)
+    m._next_pt = victim  # force _alloc_pt to recycle exactly this slot
+    new_pid = m.add_point(np.array([99.0, 99.0, 99.0], np.float32),
+                          np.zeros(32, np.uint8), 0)
+    assert new_pid == victim and m.pt_alive[victim]
+    state, frame = tr._track_locked(frame, fz)
+    # every slot that matched the victim dropped; no slot points at the
+    # impostor's bogus geometry
+    assert not np.any(frame.map_points == victim)
+    assert state == TrackingState.OK
+    slam.shutdown()
+
+
 def test_device_undistortion_matches_host():
     """_undistort_device (fused program) vs core.frame.undistort_points
     (host) on TUM1-like coefficients."""
