@@ -79,7 +79,8 @@ def main(argv=None):
     ap.add_argument("--viewer", default="", help="PNG output directory")
     ap.add_argument("--kitti-format", action="store_true")
     ap.add_argument("--vocab", default="",
-                    help="DBoW2-format vocabulary path enabling loop "
+                    help="'small' / '10k' (bundled) or a "
+                         "DBoW2-format vocabulary path enabling loop "
                          "closing; 'small' uses the bundled 512-word one")
     ns = ap.parse_args(argv)
 
@@ -94,8 +95,10 @@ def main(argv=None):
 
     vocab = None
     if ns.vocab:
-        from jetson_slam_tpu.bow.vocabulary import Vocabulary, small_vocabulary
-        vocab = small_vocabulary() if ns.vocab == "small" \
+        from jetson_slam_tpu.bow.vocabulary import (Vocabulary,
+                                                    bundled_vocabulary)
+        from jetson_slam_tpu.bow.vocabulary import _BUNDLED
+        vocab = bundled_vocabulary(ns.vocab) if ns.vocab in _BUNDLED \
             else Vocabulary.load_text(ns.vocab)
 
     if ns.mode == "synthetic":

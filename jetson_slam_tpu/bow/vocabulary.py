@@ -175,8 +175,9 @@ class Vocabulary:
 
     # --------------------------------------------------------------- io
     def save_text(self, path):
-        """DBoW2 text format (ORBvoc.txt compatible)."""
-        with open(path, "w") as f:
+        """DBoW2 text format (ORBvoc.txt compatible); .gz paths are
+        gzip-compressed transparently (bundled vocabularies ship small)."""
+        with _open_text(path, "wt") as f:
             f.write(f"{self.k} {self.L} 0 0\n")
             order = self._dfs_order()
             pos = {0: -1}
@@ -212,8 +213,9 @@ class Vocabulary:
 
     @staticmethod
     def load_text(path):
-        """Load DBoW2 text vocabulary (ORBVocabulary::loadFromTextFile)."""
-        with open(path) as f:
+        """Load DBoW2 text vocabulary (ORBVocabulary::loadFromTextFile).
+        .gz paths are decompressed transparently."""
+        with _open_text(path, "rt") as f:
             header = f.readline().split()
             k, L = int(header[0]), int(header[1])
             children_l = [[-1] * k]
@@ -254,24 +256,41 @@ class Vocabulary:
                           weights, node_level)
 
 
+def _open_text(path, mode):
+    if str(path).endswith(".gz"):
+        import gzip
+        return gzip.open(path, mode)
+    return open(path, mode.rstrip("t") or "r")
+
+
 def _hamming_np(a, b):
     """(N, 32) x (M, 32) -> (N, M) int Hamming distances."""
     return _popcount_u8(a[:, None, :] ^ b[None, :, :]).sum(-1).astype(np.int32)
 
 
-_SMALL_VOCAB = None
+_BUNDLED = {"small": "vocab_small.txt", "10k": "vocab_10k.txt.gz"}
+_BUNDLED_CACHE: dict = {}
+
+
+def bundled_vocabulary(name: str = "10k") -> "Vocabulary":
+    """Bundled vocabularies trained on diverse synthetic ORB descriptors
+    (examples/train_vocabulary.py) — the out-of-the-box stand-in for the
+    reference's 140 MB ORBvoc.txt (System.cpp:72-79 loads it at startup;
+    the file is not part of the reference snapshot).
+
+    - "10k": k=10, L=4, 10,000 words (default; loop-closure grade)
+    - "small": k=8, L=3, 512 words (fast; unit tests)
+
+    Load a full DBoW2 ORBvoc.txt via Vocabulary.load_text for dataset-grade
+    place recognition."""
+    if name not in _BUNDLED_CACHE:
+        import os
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data", _BUNDLED[name])
+        _BUNDLED_CACHE[name] = Vocabulary.load_text(path)
+    return _BUNDLED_CACHE[name]
 
 
 def small_vocabulary() -> "Vocabulary":
-    """Bundled 512-word vocabulary (k=8, L=3) trained on diverse synthetic
-    ORB descriptors — the out-of-the-box stand-in for the reference's
-    140 MB ORBvoc.txt (System.cpp:72-79 loads it at startup; the file is
-    not part of the reference snapshot).  Load a full DBoW2 ORBvoc.txt via
-    Vocabulary.load_text for dataset-grade place recognition."""
-    global _SMALL_VOCAB
-    if _SMALL_VOCAB is None:
-        import os
-        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                            "data", "vocab_small.txt")
-        _SMALL_VOCAB = Vocabulary.load_text(path)
-    return _SMALL_VOCAB
+    """Bundled 512-word vocabulary (see bundled_vocabulary)."""
+    return bundled_vocabulary("small")

@@ -104,3 +104,33 @@ def test_small_vocabulary_bundled():
     diff = Vocabulary.l1_score(a0, b0)
     assert same == pytest.approx(1.0, abs=1e-5)
     assert diff < same - 0.05, (same, diff)
+
+
+def test_10k_vocabulary_bundled():
+    """Bundled 10,000-word vocabulary (k=10, L=4) loads from gzip and
+    discriminates at least as sharply as the 512-word one."""
+    from jetson_slam_tpu.bow.vocabulary import bundled_vocabulary, Vocabulary
+    from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+    from jetson_slam_tpu.ops.frontend import OrbFrontend
+
+    voc = bundled_vocabulary("10k")
+    assert voc.n_words == 10000
+    assert voc.k == 10 and voc.L == 4
+    small = bundled_vocabulary("small")
+    fe = OrbFrontend(120, 160, n_levels=3, scale_factor=1.2, threshold=20,
+                     tile_h=12, tile_w=12)
+    seq_a = make_stereo_sequence(seed=31, n_frames=2, h=120, w=160)
+    seq_b = make_stereo_sequence(seed=77, n_frames=1, h=120, w=160)
+
+    def descs(img):
+        r = fe.extract(img)
+        return np.asarray(r.desc)[np.asarray(r.valid)]
+
+    da, db_ = descs(seq_a.lefts[0]), descs(seq_b.lefts[0])
+    diff_10k = Vocabulary.l1_score(voc.bow_vector(da), voc.bow_vector(db_))
+    diff_small = Vocabulary.l1_score(small.bow_vector(da),
+                                     small.bow_vector(db_))
+    same = Vocabulary.l1_score(voc.bow_vector(da), voc.bow_vector(da))
+    assert same == pytest.approx(1.0, abs=1e-5)
+    # more words -> unrelated scenes share fewer words -> lower cross score
+    assert diff_10k < diff_small, (diff_10k, diff_small)
