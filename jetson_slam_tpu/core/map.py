@@ -294,6 +294,39 @@ class MapStore:
                 ids = np.array([best])
         return ids, w
 
+    def covisible_neighbors_batch(self, kids, n=10, min_weight=COVIS_TH):
+        """covisible_keyframes for MANY keyframes in one (B, K, S) pass.
+
+        The per-frame local-keyframe vote expands the top-20 keyframes'
+        neighbors (Tracking::UpdateLocalKeyFrames); calling
+        covisible_keyframes per keyframe costs 20 full kf_obs scans — this
+        batches them into one gather.  Returns a list of np arrays (same
+        contract as covisible_keyframes[0], incl. the best-anyway
+        fallback)."""
+        kids = np.asarray(kids, np.int64)
+        B = len(kids)
+        if B == 0:
+            return []
+        obs_rows = self.kf_obs[kids]                      # (B, S)
+        valid = obs_rows >= 0
+        seen = np.zeros((B, self.max_points), bool)
+        seen[np.repeat(np.arange(B), valid.sum(1)), obs_rows[valid]] = True
+        mask = self.kf_obs >= 0                           # (K, S)
+        shared = seen[:, np.where(mask, self.kf_obs, 0)] & mask[None]
+        w = shared.sum(-1).astype(np.int32)               # (B, K)
+        w[np.arange(B), kids] = 0
+        w[:, ~self.kf_alive] = 0
+        out = []
+        for b in range(B):
+            ids = np.flatnonzero(w[b] >= min_weight)
+            ids = ids[np.argsort(-w[b][ids], kind="stable")][:n]
+            if len(ids) == 0:
+                best = int(np.argmax(w[b]))
+                ids = np.array([best]) if w[b][best] > 0 \
+                    else np.array([], np.int64)
+            out.append(ids)
+        return out
+
     def tracked_points_in_kf(self, kid, min_obs):
         """KeyFrame::TrackedMapPoints(minObs)."""
         obs = self.kf_obs[kid]

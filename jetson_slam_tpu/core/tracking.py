@@ -617,8 +617,8 @@ class Tracker:
             return np.array([], np.int64)
         local = local[np.argsort(-votes[local], kind="stable")]
         out = list(local[:80])
-        for k in local[:20]:
-            neigh, _ = m.covisible_keyframes(int(k), n=10)
+        neighbors = m.covisible_neighbors_batch(local[:20], n=10)
+        for neigh in neighbors:
             for nk in neigh:
                 if nk not in out:
                     out.append(int(nk))

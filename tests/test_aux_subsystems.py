@@ -142,3 +142,38 @@ def test_localization_only_freezes_map():
     assert state == TrackingState.OK
     assert slam.map.n_keyframes() == n_kf
     assert slam.map.n_points() == n_pt
+
+
+def test_covisible_neighbors_batch_matches_per_kf():
+    """covisible_neighbors_batch (one (B, K, S) pass, used by the per-frame
+    local-keyframe vote) must return exactly what covisible_keyframes
+    returns per keyframe, including the best-anyway fallback."""
+    rng = np.random.default_rng(3)
+    m = MapStore(max_points=256, max_keyframes=12, n_slots=32)
+
+    class F:
+        timestamp = 0.0
+        frame_id = 0
+        Tcw = np.eye(4, dtype=np.float32)
+        kp_xy = np.zeros((32, 2), np.float32)
+        octave = np.zeros(32, np.int32)
+        angle = np.zeros(32, np.float32)
+        u_right = np.full(32, -1.0, np.float32)
+        depth = np.full(32, -1.0, np.float32)
+        desc = np.zeros((32, 32), np.uint8)
+        valid = np.ones(32, bool)
+        map_points = np.full(32, -1, np.int32)
+
+    kids = [m.add_keyframe(F()) for _ in range(8)]
+    pids = [m.add_point(np.zeros(3, np.float32), np.zeros(32, np.uint8), 0)
+            for _ in range(120)]
+    # random observation structure with varying overlap
+    for k in kids:
+        for slot, pid in enumerate(rng.choice(pids, size=24, replace=False)):
+            m.add_observation(k, slot, int(pid))
+    m.erase_keyframe(kids[-1])  # dead keyframes must be excluded
+    alive = kids[:-1]
+    batch = m.covisible_neighbors_batch(alive, n=5)
+    for i, k in enumerate(alive):
+        single, _ = m.covisible_keyframes(int(k), n=5)
+        assert np.array_equal(batch[i], single), (k, batch[i], single)
