@@ -56,6 +56,10 @@ def main(argv=None):
     ns = ap.parse_args(argv)
 
     import jax
+    # the session sitecustomize force-registers the TPU tunnel plugin and
+    # wins over the env var alone; honor an explicit JAX_PLATFORMS request
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
