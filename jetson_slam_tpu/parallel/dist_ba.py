@@ -23,7 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils.lie import exp_se3, se3_compose
-from ..core.local_ba import _edge_residual, CHI2_MONO, CHI2_STEREO
+from ..core.local_ba import (_edges_jacobians, _edges_project, inv3x3,
+                             CHI2_MONO, CHI2_STEREO)
 
 
 def _shard_body(cam_R, cam_t, fixed_f, pts, e_cam, e_pt_local, obs, comp,
@@ -47,32 +48,43 @@ def _shard_body_impl(cam_R, cam_t, fixed_f, pts, e_cam, e_pt_local, obs, comp,
     C = cam_R.shape[0]
     Pn = pts.shape[0]
     dtype = pts.dtype
-    zero6 = jnp.zeros(6, dtype)
-    zero3 = jnp.zeros(3, dtype)
 
     def edge_res(R_all, t_all, p_all):
-        def one(c, p, ob):
-            r, z = _edge_residual(zero6, zero3, R_all[c], t_all[c], p_all[p],
-                                  ob, fx, fy, cx, cy, bf)
-            return r, z
-        return jax.vmap(one)(e_cam, e_pt_local, obs)
+        return _edges_project(R_all[e_cam], t_all[e_cam],
+                              p_all[e_pt_local], obs, fx, fy, cx, cy, bf)
 
     def edge_jacobians(R_all, t_all, p_all):
-        def one(c, p, ob):
-            fc = lambda xi: _edge_residual(xi, zero3, R_all[c], t_all[c],
-                                           p_all[p], ob, fx, fy, cx, cy, bf)[0]
-            fp = lambda dp: _edge_residual(zero6, dp, R_all[c], t_all[c],
-                                           p_all[p], ob, fx, fy, cx, cy, bf)[0]
-            return jax.jacfwd(fc)(zero6), jax.jacfwd(fp)(zero3)
-        return jax.vmap(one)(e_cam, e_pt_local, obs)
+        return _edges_jacobians(R_all[e_cam], t_all[e_cam],
+                                p_all[e_pt_local], fx, fy, cx, cy, bf)
 
     def chi2_of(r):
         return jnp.sum(r * r * comp, axis=1) * inv_sigma2
 
-    def total_cost(R, t, p):
-        r, _ = edge_res(R, t, p)
+    def cost_of(r):
         local = jnp.sum(jnp.where(e_valid, chi2_of(r), 0.0))
         return jax.lax.psum(local, axis)
+
+    # scatter-free segment sums: `.at[].add` with heavily-colliding indices
+    # (every edge of a camera collides) lowers to slow serialized scatters
+    # on TPU; a one-hot contraction rides the MXU instead, and per-point
+    # reductions use the pt_edges gather lists (edges of one point are
+    # already grouped by the host partitioner).
+    onehot_c = jax.nn.one_hot(e_cam, C, dtype=dtype)          # (E, C)
+    pe = pt_edges_local
+    pe_ok = pe >= 0
+    pe_safe = jnp.where(pe_ok, pe, 0)
+
+    def seg_cam(blocks):
+        """(E, ...) -> (C, ...) sum grouped by edge camera, via MXU."""
+        flat = blocks.reshape(blocks.shape[0], -1)
+        return jnp.einsum("ec,ef->cf", onehot_c, flat,
+                          ).reshape((C,) + blocks.shape[1:])
+
+    def seg_pt(values):
+        """(E, ...) -> (Pn, ...) sum grouped by point, via pt_edges gather."""
+        g = values[pe_safe]
+        mask = pe_ok.reshape(pe_ok.shape + (1,) * (g.ndim - 2))
+        return jnp.sum(g * mask, axis=1)
 
     def body(_, state):
         R, t, p, lam = state
@@ -89,30 +101,29 @@ def _shard_body_impl(cam_R, cam_t, fixed_f, pts, e_cam, e_pt_local, obs, comp,
         gc_e = jnp.einsum("eij,ei,e->ej", Jc, rm, w)
         gp_e = jnp.einsum("eij,ei,e->ej", Jp, rm, w)
 
-        Hcc = jnp.zeros((C, 6, 6), dtype).at[e_cam].add(Hcc_e)
-        gc = jnp.zeros((C, 6), dtype).at[e_cam].add(gc_e)
-        Hpp = jnp.zeros((Pn, 3, 3), dtype).at[e_pt_local].add(Hpp_e)
-        gp = jnp.zeros((Pn, 3), dtype).at[e_pt_local].add(gp_e)
+        Hcc = seg_cam(Hcc_e)
+        gc = seg_cam(gc_e)
+        Hpp = seg_pt(Hpp_e)
+        gp = seg_pt(gp_e)
 
         I6 = jnp.eye(6, dtype=dtype)
         I3 = jnp.eye(3, dtype=dtype)
         Hpp = Hpp + lam * I3[None]
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = inv3x3(Hpp)
         K_e = jnp.einsum("eij,ejk->eik", G_e, Hpp_inv[e_pt_local])
 
-        pe = pt_edges_local
-        pe_ok = pe >= 0
-        pe_safe = jnp.where(pe_ok, pe, 0)
-        Kp = K_e[pe_safe] * pe_ok[..., None, None]
+        # off-diagonal Schur blocks S[c1,c2] = -sum_p K(c1,p) G(c2,p)^T:
+        # bucket each point's K/G rows by camera with a small per-point
+        # one-hot (deg x C), then contract over points on the MXU — no
+        # (C+1)^2-bucket scatter
+        Kp = K_e[pe_safe] * pe_ok[..., None, None]            # (P, D, 6, 3)
         Gp = G_e[pe_safe] * pe_ok[..., None, None]
-        camp = jnp.where(pe_ok, e_cam[pe_safe], C)
-        pair_blocks = jnp.einsum("pdij,pekj->pdeik", Kp, Gp)
-        pair_idx = camp[:, :, None] * (C + 1) + camp[:, None, :]
-        S = jnp.zeros(((C + 1) * (C + 1), 6, 6), dtype).at[
-            pair_idx.reshape(-1)].add(pair_blocks.reshape(-1, 6, 6))
-        S = -S.reshape(C + 1, C + 1, 6, 6)[:C, :C]
-        rhs = -gc + jnp.zeros((C, 6), dtype).at[e_cam].add(
-            jnp.einsum("eij,ej->ei", K_e, gp[e_pt_local]))
+        camp = jnp.where(pe_ok, e_cam[pe_safe], 0)
+        A = jax.nn.one_hot(camp, C, dtype=dtype) * pe_ok[..., None]  # (P, D, C)
+        T = jnp.einsum("pdc,pdij->pcij", A, Kp)               # (P, C, 6, 3)
+        U = jnp.einsum("pdc,pdij->pcij", A, Gp)
+        S = -jnp.einsum("pcij,pCkj->cCik", T, U)
+        rhs = -gc + seg_cam(jnp.einsum("eij,ej->ei", K_e, gp[e_pt_local]))
 
         # ---- the one collective: reduce the camera system over shards ----
         S = jax.lax.psum(S, axis)
@@ -130,15 +141,15 @@ def _shard_body_impl(cam_R, cam_t, fixed_f, pts, e_cam, e_pt_local, obs, comp,
         dxc = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(C, 6)
         dxc = dxc * free[:, None]
 
-        back = jnp.zeros((Pn, 3), dtype).at[e_pt_local].add(
-            jnp.einsum("eij,ei->ej", G_e, dxc[e_cam]))
+        back = seg_pt(jnp.einsum("eij,ei->ej", G_e, dxc[e_cam]))
         dxp = jnp.einsum("pij,pj->pi", Hpp_inv, -gp - back)
 
         dR, dt = jax.vmap(exp_se3)(dxc)
         Rn, tn = jax.vmap(se3_compose)(dR, dt, R, t)
         pn = p + dxp
-        f0 = total_cost(R, t, p)
-        f1 = total_cost(Rn, tn, pn)
+        f0 = cost_of(r)  # same state the residual was built from
+        r1, _ = edge_res(Rn, tn, pn)
+        f1 = cost_of(r1)
         ok = (f1 < f0) & jnp.isfinite(f1)
         R = jnp.where(ok, Rn, R)
         t = jnp.where(ok, tn, t)

@@ -118,3 +118,38 @@ def test_local_ba_flags_outliers():
     outlier = np.asarray(outlier)
     # most injected outliers must be flagged
     assert outlier[out_idx].mean() > 0.8, outlier[out_idx].mean()
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """_edges_jacobians (closed form) vs jax.jacfwd through the exp/compose
+    chain of _edge_residual at the linearization point."""
+    import jax
+    import jax.numpy as jnp
+    from jetson_slam_tpu.core.local_ba import (_edge_residual,
+                                               _edges_jacobians)
+    from jetson_slam_tpu.utils.lie import exp_so3
+    rng = np.random.default_rng(5)
+    E = 64
+    FX, FY, CX, CY, BF = 310.0, 305.0, 160.0, 120.0, 38.0
+    Rg = np.stack([np.asarray(exp_so3(jnp.asarray(
+        rng.normal(0, 0.4, 3).astype(np.float32)))) for _ in range(E)])
+    tg = rng.normal(0, 1.0, (E, 3)).astype(np.float32)
+    pg = rng.normal(0, 2.0, (E, 3)).astype(np.float32)
+    pg[:, 2] += 8.0  # keep points in front of the cameras
+    zero6 = jnp.zeros(6); zero3 = jnp.zeros(3)
+
+    def one(R, t, p):
+        fc = lambda xi: _edge_residual(xi, zero3, R, t, p, jnp.zeros(3),
+                                       FX, FY, CX, CY, BF)[0]
+        fp = lambda dp: _edge_residual(zero6, dp, R, t, p, jnp.zeros(3),
+                                       FX, FY, CX, CY, BF)[0]
+        return jax.jacfwd(fc)(zero6), jax.jacfwd(fp)(zero3)
+
+    Jc_ref, Jp_ref = jax.vmap(one)(jnp.asarray(Rg), jnp.asarray(tg),
+                                   jnp.asarray(pg))
+    Jc, Jp = _edges_jacobians(jnp.asarray(Rg), jnp.asarray(tg),
+                              jnp.asarray(pg), FX, FY, CX, CY, BF)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jp), np.asarray(Jp_ref),
+                               rtol=1e-4, atol=1e-4)
