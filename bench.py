@@ -3,11 +3,15 @@ setting, BASELINE.md: >500 FPS on RTX-2070, >90 FPS on Jetson-NX).
 
 Measures the full per-frame device pipeline — ORB extraction on BOTH eyes +
 stereo matching — end to end on whatever platform JAX selects (the real TPU
-chip under the driver).  Throughput is measured the TPU-idiomatic way: the
-frame batch is the data-parallel axis (OrbFrontend.frame_step_batch), which
-amortizes dispatch overhead exactly like production serving would (the
-per-frame device compute is ~4 us; single-frame dispatch is transport-bound).
-A single-frame latency figure is printed to stderr for reference.
+chip under the driver).
+
+Timing methodology (IMPORTANT): every measured repetition ends with a
+`jax.device_get` of an output array.  On this environment's tunneled TPU
+platform `jax.block_until_ready` returns optimistically without waiting for
+execution, so only a real D2H readback gives honest numbers.  Throughput is
+measured on a batch of frames (the data-parallel axis) with the batch
+enqueued and then read back; a single-frame blocked latency is printed to
+stderr for reference.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the reference's 500 FPS RTX-2070 number.
@@ -29,7 +33,7 @@ def main():
     from jetson_slam_tpu.ops.frontend import OrbFrontend
 
     H, W = 240, 320
-    B = 128
+    B = 16
     seq = make_stereo_sequence(seed=1, n_frames=16, h=H, w=W, n_points=800)
     fe = OrbFrontend(H, W, n_levels=4, scale_factor=1.2, threshold=20,
                      tile_h=16, tile_w=16)
@@ -39,26 +43,27 @@ def main():
     lefts = jnp.asarray(np.stack([seq.lefts[i % 16] for i in range(B)]))
     rights = jnp.asarray(np.stack([seq.rights[i % 16] for i in range(B)]))
 
-    # warmup / compile (batched + single-frame paths)
+    # warmup / compile (batched + single-frame paths); device_get forces
+    # real completion (block_until_ready is optimistic on this platform)
     out = fe.frame_step_batch(lefts, rights, bf, min_z)
-    jax.block_until_ready(out[3])
+    _ = jax.device_get(out[2])
     single = fe.frame_step(lefts[0], rights[0], bf, min_z)
-    jax.block_until_ready(single[3])
+    _ = jax.device_get(single[2])
 
     # single-frame blocked latency (stderr, informational)
     t0 = time.perf_counter()
-    for _ in range(50):
+    for _ in range(20):
         single = fe.frame_step(lefts[0], rights[0], bf, min_z)
-        jax.block_until_ready(single[3])
-    lat_ms = (time.perf_counter() - t0) / 50 * 1e3
+        _ = jax.device_get(single[2])
+    lat_ms = (time.perf_counter() - t0) / 20 * 1e3
     print(f"single-frame blocked latency: {lat_ms:.3f} ms", file=sys.stderr)
 
-    # batched throughput
-    n_iters = 40
+    # batched throughput, each repetition forced by a readback
+    n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fe.frame_step_batch(lefts, rights, bf, min_z)
-    jax.block_until_ready(out[3])
+        _ = jax.device_get(out[2])
     dt = time.perf_counter() - t0
     fps = n_iters * B / dt
 

@@ -97,11 +97,12 @@ def main(argv=None):
                 put_s(delta2_p), put_s(inv_s2_p), put_s(valid_p),
                 put_s(pt_edges_p), FX, FY, CX, CY, BF)
         out = step(*args)
-        jax.block_until_ready(out)
+        jax.device_get(out[1])  # real readback: block_until_ready is
+        # optimistic on the tunneled TPU platform and would time dispatch
         t0 = time.perf_counter()
         for _ in range(ns.reps):
             out = step(*args)
-        jax.block_until_ready(out)
+        jax.device_get(out[1])
         dt = (time.perf_counter() - t0) / ns.reps
         eff = (t1 / (dt * n)) if t1 is not None else 1.0
         if t1 is None:

@@ -406,6 +406,9 @@ class OrbFrontend:
         wu, wv = tables.ic_angle_masks()
         self._wuv = jnp.asarray(
             np.stack([wu.reshape(-1), wv.reshape(-1)], axis=1).astype(np.float32))
+        # the same moment masks as a (31, 31, 2) tensor for the patch-slice
+        # moment einsum (see _extract_batch_core)
+        self._wuv2d = jnp.asarray(np.stack([wu, wv], -1).astype(np.float32))
         # rBRIEF pattern as device vectors
         pat = tables.orb_pattern().astype(np.float32)
         self._pat_x = jnp.asarray(pat[:, 0])
@@ -437,8 +440,10 @@ class OrbFrontend:
             slot_level=self.slot_level,
             slot_scale=self.slot_scale,
             lvl_base=self._lvl_base,
+            lvl_row=self.slot_level * np.int32(g.heights[0]),
             rel_ic=self._rel_ic,
             wuv=self._wuv,
+            wuv2d=self._wuv2d,
             pat_x=self._pat_x,
             pat_y=self._pat_y,
             gy=self._gy,
@@ -568,12 +573,25 @@ class OrbFrontend:
 
             sub_dx, sub_dy = fit(sl, sr), fit(su, sd)
 
-        # intensity-centroid orientation: one gather + one MXU matmul
-        raw_flat = raw_stack.reshape(B, -1)
-        patches = self._take_b(raw_flat, base[:, :, None] + T["rel_ic"]
-                               ).astype(jnp.float32)                 # (B, Kp, 961)
-        m = jnp.einsum("bkp,pc->bkc", patches, T["wuv"],
-                       preferred_element_type=jnp.float32)           # (B, Kp, 2)
+        # intensity-centroid orientation: per-slot 31x31 patches via vmapped
+        # dynamic_slice (contiguous-row copies the TPU executes ~10x faster
+        # than the former per-element flat gather, which alone cost ~30 ms/
+        # frame), then one small moment einsum.  f32 sums are integer-exact
+        # (every term < 2^24).  dynamic_slice clamps at canvas edges; valid
+        # keypoints sit >= BORDER_SKIP=20 > 15 from the level border, so
+        # clamping only touches dead padded slots.
+        stack2 = raw_stack.reshape(B, L * H0, W0)
+        hp = tables.HALF_PATCH_SIZE
+        ys_ic = T["lvl_row"][None] + kp_y
+        def _one_eye(img2, ys, xs):
+            def one(y, x):
+                return jax.lax.dynamic_slice(
+                    img2, (y - hp, x - hp), (IC_PATCH, IC_PATCH))
+            return jax.vmap(one)(ys, xs)
+        ic_patches = jax.vmap(_one_eye)(stack2, ys_ic, kp_x
+                                        ).astype(jnp.float32)   # (B,Kp,31,31)
+        m = jnp.einsum("bkyx,yxc->bkc", ic_patches, T["wuv2d"],
+                       preferred_element_type=jnp.float32)
         ang = jnp.arctan2(m[..., 1], m[..., 0])                      # (B, Kp)
 
         # separable gaussian blur of the whole stack on the MXU

@@ -37,15 +37,19 @@ class TicToc:
 
     @contextlib.contextmanager
     def scope(self, name: str, sync_arrays=None):
-        """Time a block; if sync_arrays is given, block_until_ready on them
-        before stopping (device work is async like CUDA streams)."""
+        """Time a block; if sync_arrays is given, force completion by
+        reading one element back (device work is async like CUDA streams;
+        on the tunneled TPU platform `block_until_ready` is optimistic and
+        would time dispatch only, so a real D2H readback is required)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if sync_arrays is not None:
                 import jax
-                jax.block_until_ready(sync_arrays)
+                leaves = jax.tree_util.tree_leaves(sync_arrays)
+                if leaves:
+                    jax.device_get(leaves[0].ravel()[:1])
             self._samples[name].append((time.perf_counter() - t0) * 1e3)
 
     def stats(self, name: str) -> dict:
