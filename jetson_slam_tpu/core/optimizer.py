@@ -82,8 +82,17 @@ def _pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
       valid: (N,) bool mask of real (non-padded) correspondences.
 
     Returns (Rcw', tcw', inlier (N,) bool, n_inliers int32).
+
+    Runs inside the fused per-frame program (core/fused_track.py) twice per
+    frame, so the 4x10 LM iteration chain is the device hot loop: residuals
+    are one batched projection, Jacobians the closed-form
+    J = dproj/dpc @ [I | -hat(q)] (parity with jacfwd through the
+    exp/compose chain is covered by the local-BA jacobian test — same
+    formula), and the accepted cost is carried between iterations instead
+    of recomputed.
     """
     N = points.shape[0]
+    dtype = tcw.dtype
     is_stereo = obs_ur >= 0
     obs = jnp.concatenate([obs_uv, jnp.where(is_stereo, obs_ur, 0.0)[:, None]], axis=1)
     # residual component mask: mono edges use (u, v) only
@@ -91,18 +100,44 @@ def _pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
         [jnp.ones(N), jnp.ones(N), is_stereo.astype(jnp.float32)], axis=1)
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
 
-    resfn = lambda xi, R, t: _residuals(xi, R, t, points, obs, fx, fy, cx, cy, bf)
-    jacfn = jax.jacfwd(resfn)
+    def project(R, t):
+        """(N, 3) residuals + camera-frame points q."""
+        q = points @ R.T + t
+        z = jnp.maximum(q[:, 2], 1e-6)
+        invz = 1.0 / z
+        u = fx * q[:, 0] * invz + cx
+        v = fy * q[:, 1] * invz + cy
+        ur = u - bf * invz
+        return jnp.stack([u, v, ur], axis=1) - obs, q
+
+    def jac(q):
+        """(N, 3, 6) closed-form Jacobian at the linearization point."""
+        x, y, zraw = q[:, 0], q[:, 1], q[:, 2]
+        z = jnp.maximum(zraw, 1e-6)
+        zslope = (zraw >= 1e-6).astype(dtype)
+        invz = 1.0 / z
+        invz2 = invz * invz * zslope
+        zero = jnp.zeros(N, dtype)
+        Pj = jnp.stack([
+            jnp.stack([fx * invz, zero, -fx * x * invz2], axis=1),
+            jnp.stack([zero, fy * invz, -fy * y * invz2], axis=1),
+            jnp.stack([fx * invz, zero, (bf - fx * x) * invz2], axis=1),
+        ], axis=1)
+        hatq = jnp.zeros((N, 3, 3), dtype)
+        hatq = hatq.at[:, 0, 1].set(-q[:, 2]).at[:, 0, 2].set(q[:, 1])
+        hatq = hatq.at[:, 1, 0].set(q[:, 2]).at[:, 1, 2].set(-q[:, 0])
+        hatq = hatq.at[:, 2, 0].set(-q[:, 1]).at[:, 2, 1].set(q[:, 0])
+        I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, 3, 3))
+        dpc_dxi = jnp.concatenate([I3, -hatq], axis=2)
+        return jnp.einsum("nij,njk->nik", Pj, dpc_dxi)
 
     def chi2_of(r):
         return jnp.sum(r * r * comp_mask, axis=1) * inv_sigma2
 
     def lm_solve(R0, t0, active, use_huber):
         """10 LM iterations over the active edge set, from (R0, t0)."""
-        zero = jnp.zeros(6, dtype=tcw.dtype)
 
-        def total_cost(R, t):
-            r = resfn(zero, R, t)
+        def cost_of(r):
             chi2 = chi2_of(r)
             # robust cost (g2o rho[0]) for the acceptance test
             d = jnp.sqrt(delta2)
@@ -111,9 +146,8 @@ def _pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
             cost = jnp.where(use_huber, huber, chi2)
             return jnp.sum(jnp.where(active, cost, 0.0))
 
-        def build(R, t):
-            r = resfn(zero, R, t)          # (N, 3)
-            J = jacfn(zero, R, t)          # (N, 3, 6)
+        def build(r, q):
+            J = jac(q)                     # (N, 3, 6)
             chi2 = chi2_of(r)
             w_huber = jnp.where(
                 chi2 <= delta2, 1.0,
@@ -125,38 +159,43 @@ def _pose_optimization(Rcw, tcw, points, obs_uv, obs_ur, inv_sigma2, valid,
             g = jnp.einsum("nij,ni,n->j", Jm, r * comp_mask, w)
             return H, g
 
-        H0, _ = build(R0, t0)
+        r0, q0 = project(R0, t0)
+        f_init = cost_of(r0)
+        H0, _ = build(r0, q0)
         lam0 = LM_TAU * jnp.max(jnp.diag(H0))
 
         def body(_, state):
-            R, t, lam, nu = state
-            H, g = build(R, t)
+            R, t, r, q, f0, lam, nu = state
+            H, g = build(r, q)
             dx = jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), -g)
             dR, dt = exp_se3(dx)
             Rn, tn = se3_compose(dR, dt, R, t)
-            f0 = total_cost(R, t)
-            f1 = total_cost(Rn, tn)
+            r1, q1 = project(Rn, tn)
+            f1 = cost_of(r1)
             pred = 0.5 * jnp.dot(dx, lam * dx - g)
             rho = (f0 - f1) / jnp.maximum(pred, 1e-12)
             ok = (rho > 0) & jnp.all(jnp.isfinite(dx))
             R = jnp.where(ok, Rn, R)
             t = jnp.where(ok, tn, t)
+            r = jnp.where(ok, r1, r)
+            q = jnp.where(ok, q1, q)
+            f0 = jnp.where(ok, f1, f0)
             lam = jnp.where(
                 ok, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
                 lam * nu)
             nu = jnp.where(ok, 2.0, nu * 2.0)
-            return R, t, lam, nu
+            return R, t, r, q, f0, lam, nu
 
-        R, t, _, _ = jax.lax.fori_loop(0, 10, body, (R0, t0, lam0, 2.0))
+        R, t, _, _, _, _, _ = jax.lax.fori_loop(
+            0, 10, body, (R0, t0, r0, q0, f_init, lam0, 2.0))
         return R, t
 
     inlier = valid
     R_out, t_out = Rcw, tcw
-    zero = jnp.zeros(6, dtype=tcw.dtype)
     for rnd in range(4):
         use_huber = jnp.asarray(rnd < 3)
         R_out, t_out = lm_solve(Rcw, tcw, inlier, use_huber)
-        r = resfn(zero, R_out, t_out)
+        r, _ = project(R_out, t_out)
         chi2 = chi2_of(r)
         inlier = valid & (chi2 <= delta2)
 
