@@ -114,7 +114,7 @@ def _fused_track_jit(
         cur, _right, u_r, depth, _dist = fe._frame_step_impl(
             T, img_a, img_b, mbf, min_z)
     else:
-        res, _raw = fe._extract_batch_core(T, img_a[None])
+        res, _raw, _bands = fe._extract_batch_core(T, img_a[None])
         cur = jax.tree_util.tree_map(lambda a: a[0], res)
 
     cur_xy = jnp.stack([cur.xs, cur.ys], axis=1)

@@ -394,21 +394,23 @@ class OrbFrontend:
                 mi = (m0[ys][:, xs] > 10).astype(np.int32)
                 self.masks.append(jnp.asarray(mi))
 
-        # ---- static tables for the fused batched path (flat gathers) ----
+        # ---- static tables for the fused batched path ----
         H0, W0, L = g.heights[0], g.widths[0], g.n_levels
         self._h0w0 = (H0, W0)
         # per-slot flat base offset into a flattened (L, H0, W0) stack
         self._lvl_base = self.slot_level * np.int32(H0 * W0)
-        # intensity-centroid: relative flat offsets + (961, 2) moment weights
-        icy, icx = np.mgrid[-tables.HALF_PATCH_SIZE:tables.HALF_PATCH_SIZE + 1,
-                            -tables.HALF_PATCH_SIZE:tables.HALF_PATCH_SIZE + 1]
-        self._rel_ic = jnp.asarray((icy * W0 + icx).reshape(-1).astype(np.int32))
         wu, wv = tables.ic_angle_masks()
-        self._wuv = jnp.asarray(
-            np.stack([wu.reshape(-1), wv.reshape(-1)], axis=1).astype(np.float32))
-        # the same moment masks as a (31, 31, 2) tensor for the patch-slice
-        # moment einsum (see _extract_batch_core)
+        # moment masks as a (31, 31, 2) tensor for the patch-slice moment
+        # einsum (see _extract_batch_core)
         self._wuv2d = jnp.asarray(np.stack([wu, wv], -1).astype(np.float32))
+        # tile-anchored band geometry (ops/bands.py): every per-keypoint
+        # window sits inside its slot's static band, so sampling becomes
+        # one-hot MXU matmuls instead of gathers
+        from .bands import band_shape, slot_band_origins
+        self.band_hw = band_shape(g.tile_h, g.tile_w)
+        band_y0, band_x0 = slot_band_origins(g)
+        self._band_y0 = jnp.asarray(band_y0)
+        self._band_x0 = jnp.asarray(band_x0)
         # rBRIEF pattern as device vectors
         pat = tables.orb_pattern().astype(np.float32)
         self._pat_x = jnp.asarray(pat[:, 0])
@@ -440,9 +442,6 @@ class OrbFrontend:
             slot_level=self.slot_level,
             slot_scale=self.slot_scale,
             lvl_base=self._lvl_base,
-            lvl_row=self.slot_level * np.int32(g.heights[0]),
-            rel_ic=self._rel_ic,
-            wuv=self._wuv,
             wuv2d=self._wuv2d,
             pat_x=self._pat_x,
             pat_y=self._pat_y,
@@ -454,11 +453,13 @@ class OrbFrontend:
             widths=jnp.asarray(np.asarray(g.widths, np.int32)),
             scales=jnp.asarray(np.asarray(g.scales, np.float32)),
             inv_scales=jnp.asarray(np.asarray(g.inv_scales, np.float32)),
+            band_y0=self._band_y0,
+            band_x0=self._band_x0,
+            lvl_tile_h=jnp.asarray(np.asarray(g.tile_h, np.int32)),
+            lvl_tile_w=jnp.asarray(np.asarray(g.tile_w, np.int32)),
+            lvl_ntw=jnp.asarray(np.asarray(g.n_tiles_w, np.int32)),
+            lvl_off=jnp.asarray(np.asarray(g.level_offsets, np.int32)),
         )
-        from .stereo import stereo_rel_offsets
-        rl, rr = stereo_rel_offsets(W0)
-        self._tables["rel_stereo_l"] = jnp.asarray(rl)
-        self._tables["rel_stereo_r"] = jnp.asarray(rr)
         # per-level FAST ROI rectangles for the pallas kernel (half-open)
         roi_l = np.array(
             [[BORDER_SKIP, g.heights[i] - BORDER_SKIP,
@@ -492,6 +493,23 @@ class OrbFrontend:
     def _take_b(self, flat_b, idx_b):
         """Batched flat gather: flat_b (B, N), idx_b (B, ...) -> (B, ...)."""
         return jax.vmap(lambda f, i: jnp.take(f, i, mode="clip"))(flat_b, idx_b)
+
+    def _extract_bands(self, levels):
+        """Per-level tile-anchored bands, concatenated in slot order and
+        padded to (B, n_slots_padded, BH, BW).  levels: list of (B, Hi, Wi)."""
+        from .bands import extract_tile_bands
+        g = self.geom
+        bh, bw = self.band_hw
+        parts = []
+        for i in range(g.n_levels):
+            parts.append(extract_tile_bands(
+                levels[i], g.tile_h[i], g.tile_w[i],
+                g.n_tiles_h[i], g.n_tiles_w[i], bh, bw))
+        bands = jnp.concatenate(parts, axis=1)
+        pad = self.n_slots_padded - self.n_slots
+        if pad:
+            bands = jnp.pad(bands, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return bands
 
     def _extract_batch_core(self, T, imgs_u8):
         """The fused front-end over a batch of images (both stereo eyes ride
@@ -573,26 +591,12 @@ class OrbFrontend:
 
             sub_dx, sub_dy = fit(sl, sr), fit(su, sd)
 
-        # intensity-centroid orientation: per-slot 31x31 patches via vmapped
-        # dynamic_slice (contiguous-row copies the TPU executes ~10x faster
-        # than the former per-element flat gather, which alone cost ~30 ms/
-        # frame), then one small moment einsum.  f32 sums are integer-exact
-        # (every term < 2^24).  dynamic_slice clamps at canvas edges; valid
-        # keypoints sit >= BORDER_SKIP=20 > 15 from the level border, so
-        # clamping only touches dead padded slots.
-        stack2 = raw_stack.reshape(B, L * H0, W0)
-        hp = tables.HALF_PATCH_SIZE
-        ys_ic = T["lvl_row"][None] + kp_y
-        def _one_eye(img2, ys, xs):
-            def one(y, x):
-                return jax.lax.dynamic_slice(
-                    img2, (y - hp, x - hp), (IC_PATCH, IC_PATCH))
-            return jax.vmap(one)(ys, xs)
-        ic_patches = jax.vmap(_one_eye)(stack2, ys_ic, kp_x
-                                        ).astype(jnp.float32)   # (B,Kp,31,31)
-        m = jnp.einsum("bkyx,yxc->bkc", ic_patches, T["wuv2d"],
-                       preferred_element_type=jnp.float32)
-        ang = jnp.arctan2(m[..., 1], m[..., 0])                      # (B, Kp)
+        # ---- tile-anchored bands (ops/bands.py): all remaining per-keypoint
+        # sampling (IC moments, rBRIEF, and the stereo correlation downstream)
+        # rides one-hot MXU matmuls over these bands — zero gathers.  The
+        # former flat-gather rBRIEF (~18 ms/frame) and vmapped-dynamic-slice
+        # IC patches (~4 ms/frame) were the two dominant costs of round 1.
+        bands_raw = self._extract_bands(pyr).astype(jnp.bfloat16)
 
         # separable gaussian blur of the whole stack on the MXU
         sf = raw_stack.astype(jnp.float32)
@@ -601,16 +605,47 @@ class OrbFrontend:
         bl = jnp.einsum("oh,blhx->blox", T["gy"], t,
                         preferred_element_type=jnp.float32)
         blur_stack = jnp.where(T["blur_interior"][None], jnp.floor(bl), sf)
+        blur_lvls = [blur_stack[:, i, :g.heights[i], :g.widths[i]].astype(
+            jnp.bfloat16) for i in range(L)]
+        bands_blur = self._extract_bands(blur_lvls)
 
-        # rBRIEF: rotate pattern, one gather from the blurred stack, pack bits
+        # shared 40x40 window selectors: in-band window origin is simply
+        # (kp - tile_origin) because the band margin equals the window half
+        wy0 = kp_y - T["band_y0"][None, :]
+        wx0 = kp_x - T["band_x0"][None, :]
+        from .bands import window_patches
+        patch_raw = window_patches(bands_raw, wy0, wx0,
+                                   DESC_PATCH, DESC_PATCH)   # (B,Kp,40,40) f32
+        patch_blur = window_patches(bands_blur, wy0, wx0,
+                                    DESC_PATCH, DESC_PATCH)
+
+        # intensity-centroid orientation: the 31x31 IC patch is the static
+        # center slice of the 40x40 window; one moment einsum, f32 sums are
+        # integer-exact (every term < 2^24)
+        hp_off = DESC_PATCH_HALF - tables.HALF_PATCH_SIZE  # 4
+        ic_patches = patch_raw[:, :, hp_off:hp_off + IC_PATCH,
+                               hp_off:hp_off + IC_PATCH]
+        m = jnp.einsum("bkyx,yxc->bkc", ic_patches, T["wuv2d"],
+                       preferred_element_type=jnp.float32)
+        ang = jnp.arctan2(m[..., 1], m[..., 0])                      # (B, Kp)
+
+        # rBRIEF: rotate pattern; sample the 40x40 blurred window with
+        # one-hot row-select matmul + col-select reduce (exact: one-hot picks
+        # single integer-valued bf16 entries, f32 accumulate)
         ca = jnp.cos(ang)[:, :, None]
         sa = jnp.sin(ang)[:, :, None]
         px = T["pat_x"][None, None, :]
         py = T["pat_y"][None, None, :]
         rows = jnp.round(px * sa + py * ca).astype(jnp.int32)        # (B, Kp, 512)
         cols = jnp.round(px * ca - py * sa).astype(jnp.int32)
-        samples = self._take_b(blur_stack.reshape(B, -1),
-                               base[:, :, None] + rows * W0 + cols)  # (B, Kp, 512)
+        iota40 = jnp.arange(DESC_PATCH, dtype=jnp.int32)
+        prow = (iota40 == (rows + DESC_PATCH_HALF)[..., None]).astype(jnp.bfloat16)
+        pcol = (iota40 == (cols + DESC_PATCH_HALF)[..., None]).astype(jnp.bfloat16)
+        t_sel = jnp.einsum("bkja,bkav->bkjv", prow,
+                           patch_blur.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.bfloat16)
+        samples = jnp.einsum("bkjv,bkjv->bkj", t_sel, pcol,
+                             preferred_element_type=jnp.float32)     # (B, Kp, 512)
         t0 = samples[..., 0::2]
         t1 = samples[..., 1::2]
         bits = (t0 < t1).astype(jnp.int32).reshape(B, Kp, 32, 8)
@@ -637,26 +672,29 @@ class OrbFrontend:
             octave=octave, size=size, valid=valid,
             desc=desc, lx=kp_x, ly=kp_y,
         )
-        return res, raw_stack
+        return res, raw_stack, bands_raw
 
     def _extract_impl(self, T, img_u8):
-        res, _ = self._extract_batch_core(T, img_u8[None])
+        res, _, _ = self._extract_batch_core(T, img_u8[None])
         return jax.tree_util.tree_map(lambda a: a[0], res)
+
+    def _stereo_bands(self, T, l, r, bands_l, bands_r, mbf, min_z):
+        from .stereo import stereo_match_bands
+        return stereo_match_bands(
+            l, r, bands_l, bands_r, T["band_y0"], T["band_x0"],
+            T["lvl_tile_h"], T["lvl_tile_w"], T["lvl_ntw"], T["lvl_off"],
+            T["widths"], T["scales"], T["inv_scales"], mbf, min_z)
 
     def _frame_step_impl(self, T, left_u8, right_u8, mbf, min_z):
         """ONE jitted program for the whole stereo frame: ORB on both eyes
         (batched) + dense stereo matching (Frame.cpp:107-110's two extraction
         threads + Frame::ComputeStereoMatches collapse into one dispatch)."""
-        from .stereo import stereo_match_core
-        res, raw_stack = self._extract_batch_core(
+        res, _raw, bands = self._extract_batch_core(
             T, jnp.stack([left_u8, right_u8]))
         take0 = jax.tree_util.tree_map(lambda a: a[0], res)
         take1 = jax.tree_util.tree_map(lambda a: a[1], res)
-        u_r, depth, best_dist = stereo_match_core(
-            take0, take1, raw_stack[0], raw_stack[1],
-            T["widths"], T["scales"], T["inv_scales"],
-            mbf, min_z, self.geom.n_levels,
-            rel_l=T["rel_stereo_l"], rel_r=T["rel_stereo_r"])
+        u_r, depth, best_dist = self._stereo_bands(
+            T, take0, take1, bands[0], bands[1], mbf, min_z)
         return take0, take1, u_r, depth, best_dist
 
     def _frame_steps_impl(self, T, lefts_u8, rights_u8, mbf, min_z):
@@ -667,20 +705,16 @@ class OrbFrontend:
         NamedSharding over 'data' and XLA partitions the whole pipeline —
         per-frame work is independent); stereo matching is vmapped over the
         frame axis."""
-        from .stereo import stereo_match_core
         B = lefts_u8.shape[0]
-        res, raw = self._extract_batch_core(
+        res, _raw, bands = self._extract_batch_core(
             T, jnp.concatenate([lefts_u8, rights_u8], axis=0))
         L = jax.tree_util.tree_map(lambda a: a[:B], res)
         R = jax.tree_util.tree_map(lambda a: a[B:], res)
 
-        def one(l, r, rawl, rawr):
-            return stereo_match_core(
-                l, r, rawl, rawr, T["widths"], T["scales"], T["inv_scales"],
-                mbf, min_z, self.geom.n_levels,
-                rel_l=T["rel_stereo_l"], rel_r=T["rel_stereo_r"])
+        def one(l, r, bl, br):
+            return self._stereo_bands(T, l, r, bl, br, mbf, min_z)
 
-        u_r, depth, dist = jax.vmap(one)(L, R, raw[:B], raw[B:])
+        u_r, depth, dist = jax.vmap(one)(L, R, bands[:B], bands[B:])
         return L, R, u_r, depth, dist
 
     def extract(self, img_u8) -> FrontendResult:

@@ -9,9 +9,12 @@ become one jitted program over DENSE slot arrays:
 - candidate gating is a (KL, KR) boolean mask (row-band, disparity window,
   |octave diff| <= 1) — no host-side pair lists;
 - Hamming distances are one MXU matmul (ops/hamming.py);
-- the window correlation gathers one 11x11 left patch and a 21-wide right
-  strip per matched slot, producing the 11 neighborhood L1 costs with a
-  single reduction (the cuBLAS-GEMV-with-ones trick is just a sum on TPU).
+- the window correlation samples the 11x11 left patch and the 11x21 right
+  strip from static tile-anchored BANDS (ops/bands.py) with one-hot MXU
+  matmuls — zero gathers (the fused fast path, stereo_match_bands), or from
+  flat pyramid-stack gathers (stereo_match_core, the portable fallback kept
+  for standalone per-eye call sites).  The cuBLAS-GEMV-with-ones reduce
+  (orb_stereo_match.cu:1036-1053) is just a sum on TPU.
 
 Outputs are dense (KL,) arrays u_right / depth with -1 for unmatched slots,
 matching Frame::ComputeStereoMatches' mvuRight/mvDepth semantics.
@@ -25,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .hamming import hamming_matrix
+from .bands import MARGIN, window_patches
 
 TH_HIGH = 100  # reference ORBmatcher.cpp:24-25
 TH_LOW = 50
@@ -35,46 +39,12 @@ NBR_HALF = 5
 INVALID = 1 << 29  # python int: keep it a literal, not a traced constant
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
-def stereo_match(
-    left, right,
-    pyr_left_stack, pyr_right_stack, level_widths,
-    scales, inv_scales,
-    mbf: float, min_z: float,
-    n_levels: int,
-):
-    """Jitted wrapper around stereo_match_core (kept for call sites that
-    extract eyes separately; the fused path is OrbFrontend.frame_step)."""
-    return stereo_match_core(left, right, pyr_left_stack, pyr_right_stack,
-                             level_widths, scales, inv_scales, mbf, min_z,
-                             n_levels)
-
-
-def stereo_match_core(
-    left, right,
-    pyr_left_stack, pyr_right_stack, level_widths,
-    scales, inv_scales,
-    mbf, min_z,
-    n_levels: int,
-    rel_l=None, rel_r=None,
-):
-    """Dense stereo matching.
-
-    left/right: FrontendResult pytrees (dense slots).
-    pyr_*_stack: (L, H0, W0) uint8 — per-level images zero-padded to level-0
-    size (stacked so per-slot octave selection is one flat gather).
-    level_widths: (L,) int32 true widths per level.
-    rel_l / rel_r: optional precomputed flat window offsets (121,) / (231,)
-    int32 device arrays (pass them as jit ARGUMENTS — see stereo_rel_offsets —
-    to avoid capturing large trace constants).
-    Returns (u_right, depth, best_dist) each (KL,) float32/int32.
-    """
-    vL = left.ys    # level-0 float coords (already truncated ints)
-    uL = left.xs
-    vR = right.ys
-    uR = right.xs
-
-    KL = uL.shape[0]
+def _coarse_match(left, right, scales, inv_scales, level_widths, mbf, min_z):
+    """Phases A-C: row/disparity/octave gating + MXU Hamming argmin + the
+    (TH_HIGH+TH_LOW)/2 acceptance and window-correlation bounds check.
+    Spec: orb_stereo_match.cu:119-290."""
+    vL, uL = left.ys, left.xs
+    vR, uR = right.ys, right.xs
 
     scales_j = jnp.asarray(scales, jnp.float32)
     inv_scales_j = jnp.asarray(inv_scales, jnp.float32)
@@ -104,7 +74,6 @@ def stereo_match_core(
     th_orb = (TH_HIGH + TH_LOW) // 2
     matched = best_dist < th_orb
 
-    # ---- window correlation at the matched right keypoint ----
     octave = left.octave
     inv_s = jnp.take(inv_scales_j, octave)
     s = jnp.take(scales_j, octave)
@@ -116,42 +85,33 @@ def stereo_match_core(
     in_bounds = (scaled_uR0 - (PATCH_HALF + NBR_HALF) >= 0) & (
         scaled_uR0 + (PATCH_HALF + NBR_HALF) < w_lvl)
     matched = matched & in_bounds
+    return dict(
+        best_idx=best_idx, best_dist=best_dist, matched=matched,
+        xl=scaled_uL0.astype(jnp.int32), xr=scaled_uR0.astype(jnp.int32),
+        yy=scaled_vL0.astype(jnp.int32), s=s, max_d=max_d, uL=uL,
+        scaled_uR0=scaled_uR0,
+    )
 
-    xl = scaled_uL0.astype(jnp.int32)
-    xr = scaled_uR0.astype(jnp.int32)
-    yy = scaled_vL0.astype(jnp.int32)
-    lvl = octave
 
-    H0 = pyr_left_stack.shape[1]
-    W0 = pyr_left_stack.shape[2]
-
-    # window correlation via flat gathers from the padded pyramid stacks:
-    # one (KL, 121) left-patch gather + one (KL, 231) right-strip gather,
-    # then the 11 neighborhood L1 costs are static slices of the strip
-    # (the reference's cuBLAS-GEMV-with-ones reduce, orb_stereo_match.cu:1036)
-    if rel_l is None or rel_r is None:
-        rl, rr = stereo_rel_offsets(W0)
-        rel_l = jnp.asarray(rl) if rel_l is None else rel_l
-        rel_r = jnp.asarray(rr) if rel_r is None else rel_r
-
-    base_l = lvl * (H0 * W0) + yy * W0 + xl
-    base_r = lvl * (H0 * W0) + yy * W0 + xr
-    lflat = pyr_left_stack.reshape(-1)
-    rflat = pyr_right_stack.reshape(-1)
-    lpatch = jnp.take(lflat, base_l[:, None] + rel_l, mode="clip").astype(
-        jnp.float32).reshape(-1, PATCH_W, PATCH_W)
-    rstrip = jnp.take(rflat, base_r[:, None] + rel_r, mode="clip").astype(
-        jnp.float32).reshape(-1, PATCH_W, PATCH_W + NBRHOOD - 1)
-    lc = lpatch[:, PATCH_HALF, PATCH_HALF]
-    ldiff = lpatch - lc[:, None, None]
+def _neighborhood_costs(lpatch, rstrip):
+    """Center-subtracted L1 over the 11 disparity offsets.
+    lpatch: (..., 11, 11) f32; rstrip: (..., 11, 21) f32 -> (..., 11)."""
+    lc = lpatch[..., PATCH_HALF, PATCH_HALF]
+    ldiff = lpatch - lc[..., None, None]
     cost_l = []
     for o in range(NBRHOOD):
-        rp = rstrip[:, :, o:o + PATCH_W]
-        rc = rp[:, PATCH_HALF, PATCH_HALF]
-        cost_l.append(jnp.sum(jnp.abs(ldiff - (rp - rc[:, None, None])),
-                              axis=(1, 2)))
-    costs = jnp.stack(cost_l, axis=1)  # (KL, 11)
+        rp = rstrip[..., :, o:o + PATCH_W]
+        rc = rp[..., PATCH_HALF, PATCH_HALF]
+        cost_l.append(jnp.sum(jnp.abs(ldiff - (rp - rc[..., None, None])),
+                              axis=(-2, -1)))
+    return jnp.stack(cost_l, axis=-1)  # (..., 11)
 
+
+def _refine_and_prune(costs, c, mbf):
+    """Phase E: parabola subpixel, disparity/depth, median prune.
+    Spec: orb_stereo_match.cu:1092-1175."""
+    matched, uL, s = c["matched"], c["uL"], c["s"]
+    KL = uL.shape[0]
     best_r = jnp.argmin(costs, axis=1)
     best_cost = jnp.take_along_axis(costs, best_r[:, None], axis=1)[:, 0]
     interior = (best_r > 0) & (best_r < NBRHOOD - 1)
@@ -163,9 +123,9 @@ def stereo_match_core(
     delta = jnp.where(jnp.abs(denom) > 0, (d1 - d3) / denom, 2.0)
     good_delta = (delta >= -1.0) & (delta <= 1.0)
 
-    best_u_r = s * (scaled_uR0 + br.astype(jnp.float32) - NBR_HALF + delta)
+    best_u_r = c["s"] * (c["scaled_uR0"] + br.astype(jnp.float32) - NBR_HALF + delta)
     disparity = uL - best_u_r
-    in_disp = (disparity >= 0.0) & (disparity < max_d)
+    in_disp = (disparity >= 0.0) & (disparity < c["max_d"])
     clamped = disparity <= 0.0
     disparity = jnp.where(clamped, 0.01, disparity)
     best_u_r = jnp.where(clamped, uL - 0.01, best_u_r)
@@ -182,7 +142,111 @@ def stereo_match_core(
     keep = accept & (best_cost < th_dist)
     depth = jnp.where(keep, depth, -1.0)
     u_right = jnp.where(keep, u_right, -1.0)
-    return u_right, depth, best_dist
+    return u_right, depth
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def stereo_match(
+    left, right,
+    pyr_left_stack, pyr_right_stack, level_widths,
+    scales, inv_scales,
+    mbf: float, min_z: float,
+    n_levels: int,
+):
+    """Jitted wrapper around stereo_match_core (kept for call sites that
+    extract eyes separately; the fused path is OrbFrontend.frame_step)."""
+    return stereo_match_core(left, right, pyr_left_stack, pyr_right_stack,
+                             level_widths, scales, inv_scales, mbf, min_z,
+                             n_levels)
+
+
+def stereo_match_core(
+    left, right,
+    pyr_left_stack, pyr_right_stack, level_widths,
+    scales, inv_scales,
+    mbf, min_z,
+    n_levels: int,
+    rel_l=None, rel_r=None,
+):
+    """Dense stereo matching via flat pyramid-stack gathers (portable path).
+
+    left/right: FrontendResult pytrees (dense slots).
+    pyr_*_stack: (L, H0, W0) uint8 — per-level images zero-padded to level-0
+    size (stacked so per-slot octave selection is one flat gather).
+    level_widths: (L,) int32 true widths per level.
+    rel_l / rel_r: optional precomputed flat window offsets (121,) / (231,)
+    int32 device arrays (pass them as jit ARGUMENTS — see stereo_rel_offsets —
+    to avoid capturing large trace constants).
+    Returns (u_right, depth, best_dist) each (KL,) float32/int32.
+    """
+    c = _coarse_match(left, right, scales, inv_scales, level_widths, mbf, min_z)
+    xl, xr, yy, lvl = c["xl"], c["xr"], c["yy"], left.octave
+
+    H0 = pyr_left_stack.shape[1]
+    W0 = pyr_left_stack.shape[2]
+    if rel_l is None or rel_r is None:
+        rl, rr = stereo_rel_offsets(W0)
+        rel_l = jnp.asarray(rl) if rel_l is None else rel_l
+        rel_r = jnp.asarray(rr) if rel_r is None else rel_r
+
+    base_l = lvl * (H0 * W0) + yy * W0 + xl
+    base_r = lvl * (H0 * W0) + yy * W0 + xr
+    lflat = pyr_left_stack.reshape(-1)
+    rflat = pyr_right_stack.reshape(-1)
+    lpatch = jnp.take(lflat, base_l[:, None] + rel_l, mode="clip").astype(
+        jnp.float32).reshape(-1, PATCH_W, PATCH_W)
+    rstrip = jnp.take(rflat, base_r[:, None] + rel_r, mode="clip").astype(
+        jnp.float32).reshape(-1, PATCH_W, PATCH_W + NBRHOOD - 1)
+    costs = _neighborhood_costs(lpatch, rstrip)
+    u_right, depth = _refine_and_prune(costs, c, mbf)
+    return u_right, depth, c["best_dist"]
+
+
+def stereo_match_bands(
+    left, right,
+    bands_left, bands_right,
+    band_y0, band_x0,
+    lvl_tile_h, lvl_tile_w, lvl_ntw, lvl_off,
+    level_widths, scales, inv_scales,
+    mbf, min_z,
+):
+    """Dense stereo matching with band-sampled window correlation (no gathers).
+
+    bands_left/right: (K, BH, BW) bfloat16 tile-anchored raw-pyramid bands
+    (ops/bands.py), one per keypoint slot.  band_y0/x0: (K,) static tile
+    origins.  lvl_*: (L,) int32 per-level tile geometry used to locate the
+    RIGHT-eye band at the LEFT keypoint's octave (the reference correlates at
+    the left octave, orb_stereo_match.cu:990-1053 — the matched right slot's
+    own band can sit at a neighboring level, so the band is re-derived from
+    the scaled right coordinate instead of taken from best_idx's slot).
+    """
+    c = _coarse_match(left, right, scales, inv_scales, level_widths, mbf, min_z)
+    xl, xr, yy, lvl = c["xl"], c["xr"], c["yy"], left.octave
+    KR = bands_right.shape[0]
+
+    # left 11x11 patch from the left slot's own band
+    oy_l = yy - band_y0 + (MARGIN - PATCH_HALF)
+    ox_l = xl - band_x0 + (MARGIN - PATCH_HALF)
+    lpatch = window_patches(bands_left, oy_l, ox_l, PATCH_W, PATCH_W)
+
+    # right band at the LEFT octave containing (yy, xr): slot id is dynamic
+    th = jnp.take(lvl_tile_h, lvl)
+    tw = jnp.take(lvl_tile_w, lvl)
+    tyr = yy // th
+    txr = xr // tw
+    slot_r = jnp.take(lvl_off, lvl) + tyr * jnp.take(lvl_ntw, lvl) + txr
+    slot_r = jnp.clip(slot_r, 0, KR - 1)  # safety; gated by `matched` anyway
+    sel = (jnp.arange(KR, dtype=jnp.int32)[None, :] == slot_r[:, None]
+           ).astype(jnp.bfloat16)
+    rb = jnp.einsum("kr,rhw->khw", sel,
+                    bands_right, preferred_element_type=jnp.bfloat16)
+    oy_r = yy - tyr * th + (MARGIN - PATCH_HALF)
+    ox_r = xr - txr * tw + (MARGIN - PATCH_HALF - NBR_HALF)
+    rstrip = window_patches(rb, oy_r, ox_r, PATCH_W, PATCH_W + NBRHOOD - 1)
+
+    costs = _neighborhood_costs(lpatch, rstrip)
+    u_right, depth = _refine_and_prune(costs, c, mbf)
+    return u_right, depth, c["best_dist"]
 
 
 def stereo_rel_offsets(w0: int):
