@@ -96,9 +96,9 @@ def main(argv=None):
     vocab = None
     if ns.vocab:
         from jetson_slam_tpu.bow.vocabulary import (Vocabulary,
+                                                    bundled_names,
                                                     bundled_vocabulary)
-        from jetson_slam_tpu.bow.vocabulary import _BUNDLED
-        vocab = bundled_vocabulary(ns.vocab) if ns.vocab in _BUNDLED \
+        vocab = bundled_vocabulary(ns.vocab) if ns.vocab in bundled_names() \
             else Vocabulary.load_text(ns.vocab)
 
     if ns.mode == "synthetic":

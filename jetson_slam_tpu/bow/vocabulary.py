@@ -272,6 +272,11 @@ _BUNDLED = {"small": "vocab_small.txt", "10k": "vocab_10k.txt.gz"}
 _BUNDLED_CACHE: dict = {}
 
 
+def bundled_names() -> tuple:
+    """Names accepted by bundled_vocabulary (public accessor for CLIs)."""
+    return tuple(_BUNDLED)
+
+
 def bundled_vocabulary(name: str = "10k") -> "Vocabulary":
     """Bundled vocabularies trained on diverse synthetic ORB descriptors
     (examples/train_vocabulary.py) — the out-of-the-box stand-in for the

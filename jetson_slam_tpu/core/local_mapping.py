@@ -109,6 +109,9 @@ class LocalMapper:
 
     def process_keyframe(self, kid: int):
         with self.device_ctx():
+            # first-connection parent assignment (ProcessNewKeyFrame ->
+            # UpdateConnections, LocalMapping.cpp:169-171)
+            self.map.update_spanning_tree(kid)
             self._register_new_points(kid)
             self.cull_map_points(kid)
             self.create_new_map_points(kid)

@@ -52,10 +52,10 @@ class LoopCloser:
         candidates = self.detect_loop(kid)
         if len(candidates) == 0:
             return False
-        ok, loop_kf, s, R, t = self.compute_sim3(kid, candidates)
+        ok, loop_kf, s, R, t, matched = self.compute_sim3(kid, candidates)
         if not ok:
             return False
-        self.correct_loop(kid, loop_kf, s, R, t)
+        self.correct_loop(kid, loop_kf, s, R, t, matched)
         self.last_loop_kf = kid
         self.n_loops_closed += 1
         return True
@@ -99,9 +99,16 @@ class LoopCloser:
     def compute_sim3(self, kid, candidates):
         """LoopClosing::ComputeSim3 (:236-405).
 
-        Matches current KF features to each candidate's map points (brute
-        force; BoW buckets in the reference), runs Sim3 RANSAC on the paired
-        3D points (camera frames), accepts with >= 20 inliers.
+        Per candidate: brute-force matches (>= 20) -> Sim3 RANSAC (>= 20
+        inliers) -> SearchBySim3 mutual-projection enrichment
+        (ORBmatcher.cpp:1089-1313, th=7.5) -> Sim3 LM refinement on the
+        enriched set (>= 20 inliers) -> guided projection of the loop
+        region's map points under the corrected pose, accepting only with
+        >= 40 TOTAL matches (LoopClosing.cpp:355-390).
+
+        Returns (ok, loop_kf, s, R, t, matched) where matched maps current-KF
+        slots to loop-region point ids (the reference's
+        mvpCurrentMatchedPoints, consumed by correct_loop).
         """
         m = self.map
         fix_scale = self.sensor != "mono"
@@ -125,10 +132,12 @@ class LoopCloser:
             if good.sum() < 20:
                 continue
             slots1, slots2 = slots1[good], slots2[good]
-            p1, p2 = p1[good], p2[good]
             # 3D positions in each camera frame
-            P1 = m.pt_pos[p1] @ m.kf_pose[kid, :3, :3].T + m.kf_pose[kid, :3, 3]
-            P2 = m.pt_pos[p2] @ m.kf_pose[cand, :3, :3].T + m.kf_pose[cand, :3, 3]
+            def cam_pts(kf, pids):
+                return (m.pt_pos[pids] @ m.kf_pose[kf, :3, :3].T
+                        + m.kf_pose[kf, :3, 3])
+            P1 = cam_pts(kid, p1[good])
+            P2 = cam_pts(cand, p2[good])
             N = len(P1)
             th1 = 9.210 * self.sigma2[m.kf_kp_octave[kid, slots1]]
             th2 = 9.210 * self.sigma2[m.kf_kp_octave[cand, slots2]]
@@ -142,10 +151,39 @@ class LoopCloser:
                 n_hyp=128, fix_scale=fix_scale)
             if int(n_inl) < 20:
                 continue
-            # Sim3 LM refinement on the RANSAC inliers
+            # SearchBySim3 enrichment: RANSAC's S maps CURRENT-cam points
+            # into the CANDIDATE frame (p_cand = s R p_cur + t), i.e. S21 in
+            # the reference's (1=current, 2=candidate) convention; invert it
+            # for the S12 the matcher expects.
+            s_np = float(s)
+            R_np = np.asarray(R)
+            t_np = np.asarray(t)
+            s12 = 1.0 / s_np
+            R12 = R_np.T
+            t12 = -(R12 @ t_np) / s_np
+            inl = np.asarray(inl)
+            already1 = np.zeros(m.n_slots, bool)
+            already2 = np.zeros(m.n_slots, bool)
+            already1[slots1[inl]] = True
+            already2[slots2[inl]] = True
+            enrich = np.asarray(self._search_by_sim3(
+                kid, cand, s12, R12, t12, already1, already2))
+            # merged pair list: RANSAC inliers + mutually-agreed enrichments
+            ns1 = list(slots1[inl])
+            ns2 = list(slots2[inl])
+            for s1e in np.flatnonzero(enrich >= 0):
+                ns1.append(int(s1e))
+                ns2.append(int(enrich[s1e]))
+            slots1 = np.asarray(ns1, np.int64)
+            slots2 = np.asarray(ns2, np.int64)
+            if len(slots1) < 20:
+                continue
+            p1 = m.kf_obs[kid, slots1]
+            p2 = m.kf_obs[cand, slots2]
+            P1 = cam_pts(kid, p1)
+            P2 = cam_pts(cand, p2)
+            # Sim3 LM refinement on the enriched matches
             # (Optimizer::OptimizeSim3, Optimizer.cpp:1051-1248).
-            # Direction care: sim3_ransac returns S mapping CURRENT-frame
-            # points into the CANDIDATE frame (p2 = s R p1 + t);
             # sim3_optimization refines S mapping its SECOND point set into
             # its FIRST (q1 = s R p2 + t), so the candidate set rides first
             # to keep the same current->candidate transform throughout.
@@ -161,33 +199,132 @@ class LoopCloser:
                 jnp.asarray(obs1.astype(np.float32)),
                 jnp.asarray(inv2.astype(np.float32)),
                 jnp.asarray(inv1.astype(np.float32)),
-                jnp.asarray(inl), jnp.float32(s), R, t,
+                jnp.asarray(np.ones(len(slots1), bool)),
+                jnp.float32(s), R, t,
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 fix_scale=fix_scale)
-            if int(n_inl) >= 20:
-                return True, int(cand), float(s), np.asarray(R), np.asarray(t)
-        return False, -1, 1.0, np.eye(3), np.zeros(3)
+            if int(n_inl) < 20:
+                continue
+            inl = np.asarray(inl)
+            matched = {int(sl): int(pid)
+                       for sl, pid in zip(slots1[inl], p2[inl])}
+            # guided projection over the loop region under the corrected
+            # pose; >= 40 TOTAL gate (LoopClosing.cpp:355-390)
+            s_np, R_np, t_np = float(s), np.asarray(R), np.asarray(t)
+            found = self._guided_loop_matches(kid, int(cand), s_np, R_np,
+                                              t_np, matched)
+            total = len(matched) + len(found)
+            if total < 40:
+                continue
+            matched.update(found)
+            return True, int(cand), s_np, R_np, t_np, matched
+        return False, -1, 1.0, np.eye(3), np.zeros(3), {}
 
-    # ------------------------------------------------------------------
-    def correct_loop(self, kid, loop_kf, s, R, t):
-        """LoopClosing::CorrectLoop (:407-590).
-
-        S21 maps current-KF camera coords into loop-KF camera coords.  The
-        corrected world->current pose is S21^-1 composed with loop-KF pose
-        scaled; we propagate the correction delta over the current covisible
-        group, fuse duplicates, optimize the essential graph, then run full
-        BA (the reference spawns a GBA thread; synchronous here).
-        """
+    def _search_by_sim3(self, kid, cand, s12, R12, t12, already1, already2):
+        """Host-side wrapper building the dense slot arrays for
+        matcher.search_by_sim3."""
         m = self.map
-        # corrected Sim3 pose of current KF: S_cw' = S_lc^-1... derive:
-        # P2 = s R P1 + t maps current-cam -> loop-cam; world pose of loop
-        # T_lw known; corrected current pose S_cw = (s,R,t)^-1 * T_lw.
+        g = self.geom
+
+        def side(kf, already):
+            obs = m.kf_obs[kf]
+            safe = np.maximum(obs, 0)
+            has = (obs >= 0) & m.pt_alive[safe] & ~already & m.kf_kp_valid[kf]
+            return (jnp.asarray(m.kf_kp_xy[kf]),
+                    jnp.asarray(m.kf_kp_octave[kf]),
+                    jnp.asarray(m.kf_desc[kf]),
+                    jnp.asarray(m.kf_kp_valid[kf]),
+                    jnp.asarray(m.pt_pos[safe]),
+                    jnp.asarray(m.pt_desc[safe]),
+                    jnp.asarray(has),
+                    jnp.asarray(m.pt_min_dist[safe]),
+                    jnp.asarray(m.pt_max_dist[safe]))
+
+        return matcher.search_by_sim3(
+            *side(kid, already1), *side(cand, already2),
+            jnp.asarray(m.kf_pose[kid, :3, :3]),
+            jnp.asarray(m.kf_pose[kid, :3, 3]),
+            jnp.asarray(m.kf_pose[cand, :3, :3]),
+            jnp.asarray(m.kf_pose[cand, :3, 3]),
+            jnp.float32(s12), jnp.asarray(R12.astype(np.float32)),
+            jnp.asarray(t12.astype(np.float32)),
+            7.5, np.asarray(g.scales, np.float32), g.n_levels,
+            0.0, float(g.widths[0]), 0.0, float(g.heights[0]),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            float(np.log(g.scale_factor)))
+
+    def _corrected_pose(self, loop_kf, s, R, t):
+        """Corrected world->current SE3 from the loop KF pose and the
+        current->loop Sim3 (LoopClosing.cpp:432-440 mg2oScw semantics)."""
+        m = self.map
         R_lw = m.kf_pose[loop_kf, :3, :3]
         t_lw = m.kf_pose[loop_kf, :3, 3]
         si, Ri, ti = 1.0 / s, R.T, -(R.T @ t) / s
-        R_cw_new = Ri @ R_lw
-        t_cw_new = si * (Ri @ t_lw) + ti
-        s_cw_new = si  # scale drift absorbed (1 for stereo)
+        R_cw = Ri @ R_lw
+        t_cw = si * (Ri @ t_lw) + ti
+        return R_cw, t_cw
+
+    def _guided_loop_matches(self, kid, loop_kf, s, R, t, matched):
+        """SearchByProjection(KeyFrame*, Scw, loop points, ...) with th=10
+        (LoopClosing.cpp:380): project every map point observed by the loop
+        KF and its covisible neighbors into the current KF under the
+        corrected pose.  Returns {current slot: loop pid} for NEW matches."""
+        m = self.map
+        g = self.geom
+        loop_group, _ = m.covisible_keyframes(loop_kf, n=None)
+        loop_kids = np.concatenate([[loop_kf], loop_group]).astype(np.int64)
+        obs = m.kf_obs[loop_kids]
+        pids = np.unique(obs[obs >= 0])
+        pids = pids[m.pt_alive[pids]]
+        pids = pids[~np.isin(pids, list(matched.values()))]
+        if len(pids) == 0:
+            return {}
+        R_cw, t_cw = self._corrected_pose(loop_kf, s, R, t)
+        Ow = -R_cw.T @ t_cw
+        ok, u, v, invz, lvl, vcos = matcher.frustum_check(
+            jnp.asarray(m.pt_pos[pids]), jnp.asarray(m.pt_normal[pids]),
+            jnp.asarray(m.pt_max_dist[pids]), jnp.asarray(m.pt_min_dist[pids]),
+            jnp.asarray(R_cw.astype(np.float32)),
+            jnp.asarray(t_cw.astype(np.float32)),
+            jnp.asarray(Ow.astype(np.float32)),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            0.0, float(g.widths[0]), 0.0, float(g.heights[0]),
+            g.n_levels, float(np.log(g.scale_factor)), 0.5,
+            jnp.asarray(np.ones(len(pids), bool)))
+        cur_free = np.ones(m.n_slots, bool)
+        cur_free[list(matched.keys())] = False
+        sel = np.asarray(matcher.search_loop_projection(
+            u, v, lvl, ok, jnp.asarray(m.pt_desc[pids]),
+            jnp.asarray(m.kf_kp_xy[kid]), jnp.asarray(m.kf_kp_octave[kid]),
+            jnp.asarray(m.kf_desc[kid]), jnp.asarray(m.kf_kp_valid[kid]),
+            jnp.asarray(cur_free), 10.0, np.asarray(g.scales, np.float32)))
+        return {int(slot): int(pids[sel[slot]])
+                for slot in np.flatnonzero(sel >= 0)}
+
+    # ------------------------------------------------------------------
+    def correct_loop(self, kid, loop_kf, s, R, t, matched=None):
+        """LoopClosing::CorrectLoop (:407-590).
+
+        (s, R, t) maps current-KF camera coords into loop-KF camera coords.
+        The corrected world->current pose is that Sim3 inverted composed with
+        the loop-KF pose; we propagate the correction delta over the current
+        covisible group, attach the matched loop points, fuse duplicates,
+        persist the loop edge, optimize the essential graph (measurements
+        from PRE-correction poses), then run full BA (the reference spawns a
+        GBA thread; synchronous here unless an AsyncGBA runner is attached).
+
+        matched: {current slot: loop pid} from compute_sim3
+        (mvpCurrentMatchedPoints) — those points replace/extend the current
+        KF's associations before fusion (LoopClosing.cpp:522-538).
+        """
+        m = self.map
+        # snapshot EVERY keyframe pose before the correction: the essential
+        # graph measures its non-loop edges from these (the reference's
+        # NonCorrectedSim3 for the group; unchanged poses for the rest,
+        # Optimizer.cpp:888-950)
+        pre_poses = m.kf_pose.copy()
+
+        R_cw_new, t_cw_new = self._corrected_pose(loop_kf, s, R, t)
 
         T_old = m.kf_pose[kid].copy()
         R_old, t_old = T_old[:3, :3], T_old[:3, 3]
@@ -226,6 +363,17 @@ class LoopCloser:
             m.kf_pose[k, :3, :3] = project_so3_np(R_new)
             m.kf_pose[k, :3, 3] = t_new
 
+        # attach the matched loop points to the current keyframe: loop point
+        # replaces the slot's existing point (LoopClosing.cpp:522-538)
+        for slot, lpid in (matched or {}).items():
+            if not m.pt_alive[lpid]:
+                continue
+            cur_pid = m.kf_obs[kid, slot]
+            if cur_pid >= 0 and m.pt_alive[cur_pid] and cur_pid != lpid:
+                m.replace_point(int(cur_pid), int(lpid))
+            elif cur_pid < 0:
+                m.add_observation(kid, slot, int(lpid))
+
         # fuse duplicated points between loop region and current region
         loop_group, _ = m.covisible_keyframes(loop_kf, n=10)
         loop_pids = []
@@ -240,60 +388,109 @@ class LoopCloser:
             for k in group:
                 lm._fuse_into(int(k), loop_pids)
 
+        # persist the loop edge (KeyFrame::AddLoopEdge both ways,
+        # LoopClosing.cpp:617-618): it survives into every later essential
+        # graph solve and protects both keyframes from culling
+        m.add_loop_edge(kid, loop_kf)
+
         # essential graph optimization over all alive keyframes
-        self._optimize_essential_graph(kid, loop_kf)
+        self._optimize_essential_graph(kid, loop_kf, pre_poses,
+                                       set(int(k) for k in group))
         if self.run_gba:
             self.global_bundle_adjustment()
 
     # ------------------------------------------------------------------
     def _essential_edges(self, kids):
-        """Spanning chain + strong covisibility edges (weight >= 100,
-        Optimizer.cpp:905)."""
+        """Essential-graph edge set (Optimizer::OptimizeEssentialGraph,
+        Optimizer.cpp:888-990): spanning-tree edges, persisted loop edges,
+        and strong covisibility edges (weight >= 100).  Returns a list of
+        (i, j, kind) index pairs with kind in {"tree", "loop", "covis"}."""
         m = self.map
         pos = {int(k): i for i, k in enumerate(kids)}
-        edges = set()
-        for i in range(1, len(kids)):
-            edges.add((i - 1, i))  # temporal chain (spanning tree analog)
+        edges = {}
+
+        def add(a, b, kind):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                edges[key] = kind
+
+        # persisted loop edges first (KeyFrame::GetLoopEdges) so a pair that
+        # is both a tree and a loop edge keeps the loop label
+        for a, b in m.loop_edges:
+            if a in pos and b in pos:
+                add(pos[a], pos[b], "loop")
+        # spanning tree (KeyFrame::GetParent)
+        for k in kids:
+            p = int(m.kf_parent[k])
+            if p >= 0 and p in pos:
+                add(pos[int(k)], pos[p], "tree")
+        # strong covisibility edges
         for k in kids:
             w = m.covisibility_weights(int(k))
             for k2 in np.flatnonzero(w >= 100):
                 if int(k2) in pos and int(k2) != int(k):
-                    a, b = pos[int(k)], pos[int(k2)]
-                    edges.add((min(a, b), max(a, b)))
-        return sorted(edges)
+                    add(pos[int(k)], pos[int(k2)], "covis")
+        return [(a, b, kind) for (a, b), kind in sorted(edges.items())]
 
-    def _optimize_essential_graph(self, kid, loop_kf):
+    def _optimize_essential_graph(self, kid, loop_kf, pre_poses=None,
+                                  group=None):
+        """pre_poses: kf_pose snapshot from BEFORE the Sim3 propagation —
+        non-loop edges measure their relative poses from it (the reference's
+        NonCorrectedSim3 path).  The new loop-closure constraints (the
+        kid<->loop_kf edge and fresh current-group <-> loop-region
+        connections) measure from the CORRECTED poses, so they pull the rest
+        of the graph toward the corrected geometry."""
         m = self.map
         kids = m.keyframe_ids()
         K = len(kids)
         if K < 3:
             return
+        if pre_poses is None:
+            pre_poses = m.kf_pose
+        if group is None:
+            group = {int(kid)}
         pos = {int(k): i for i, k in enumerate(kids)}
+        loop_group, _ = m.covisible_keyframes(loop_kf, n=None)
+        loop_set = {int(loop_kf)} | {int(x) for x in loop_group} - group
         edges = self._essential_edges(kids)
-        # add the loop edge
-        edges.append((min(pos[kid], pos[loop_kf]),
-                      max(pos[kid], pos[loop_kf])))
-        e_i = np.array([a for a, b in edges], np.int32)
-        e_j = np.array([b for a, b in edges], np.int32)
+        cur_loop_edge = (min(pos[kid], pos[loop_kf]),
+                         max(pos[kid], pos[loop_kf]))
+        if not any((a, b) == cur_loop_edge for a, b, _ in edges):
+            edges.append((*cur_loop_edge, "loop"))
         Rs = m.kf_pose[kids, :3, :3].astype(np.float32)
         ts = m.kf_pose[kids, :3, 3].astype(np.float32)
         ss = np.ones(K, np.float32)
-        # measurements from current (already corrected) relative poses
-        mi_s, mi_R, mi_t = [], [], []
-        for a, b in zip(e_i, e_j):
-            R_ij = Rs[a] @ Rs[b].T
-            t_ij = ts[a] - R_ij @ ts[b]
-            # inverse measurement
-            mi_R.append(R_ij.T)
-            mi_t.append(-R_ij.T @ t_ij)
-            mi_s.append(1.0)
+        kid_of = {i: int(k) for i, k in enumerate(kids)}
+
+        def rel_inverse(Ra, ta, Rb, tb):
+            R_ij = Ra @ Rb.T
+            t_ij = ta - R_ij @ tb
+            return R_ij.T, -(R_ij.T @ t_ij)
+
+        e_i, e_j, mi_R, mi_t, mi_s = [], [], [], [], []
+        for a, b, kind in edges:
+            ka, kb = kid_of[a], kid_of[b]
+            # loop-closure constraints (the new edge, plus any edge bridging
+            # the corrected group and the loop region) measure from the
+            # corrected poses; everything else from the pre-correction snapshot
+            bridges = ((ka in group) != (kb in group)) and \
+                (ka in loop_set or kb in loop_set or (a, b) == cur_loop_edge)
+            src = m.kf_pose if bridges or (a, b) == cur_loop_edge else pre_poses
+            Ri, ti_ = src[ka, :3, :3], src[ka, :3, 3]
+            Rj, tj_ = src[kb, :3, :3], src[kb, :3, 3]
+            iR, it = rel_inverse(Ri, ti_, Rj, tj_)
+            e_i.append(a); e_j.append(b)
+            mi_R.append(iR); mi_t.append(it); mi_s.append(1.0)
+        e_i = np.array(e_i, np.int32)
+        e_j = np.array(e_j, np.int32)
         fixed = np.zeros(K, bool)
         fixed[pos[loop_kf]] = True
         s2, R2, t2 = pose_graph_optimize(
             jnp.asarray(ss), jnp.asarray(Rs), jnp.asarray(ts),
             jnp.asarray(fixed), jnp.asarray(e_i), jnp.asarray(e_j),
             jnp.asarray(np.array(mi_s, np.float32)),
-            jnp.asarray(np.stack(mi_R)), jnp.asarray(np.stack(mi_t)),
+            jnp.asarray(np.stack(mi_R).astype(np.float32)),
+            jnp.asarray(np.stack(mi_t).astype(np.float32)),
             jnp.asarray(np.ones(len(e_i), bool)),
             n_iters=20, fix_scale=self.sensor != "mono")
         R2 = np.asarray(R2)

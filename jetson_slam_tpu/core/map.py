@@ -54,6 +54,13 @@ class MapStore:
         self.kf_desc = np.zeros((K, S, 32), np.uint8)
         self.kf_kp_valid = np.zeros((K, S), bool)
         self.kf_obs = np.full((K, S), -1, np.int32)       # slot -> point id
+        # spanning tree (KeyFrame::mpParent / mspChildrens, KeyFrame.h:75-85):
+        # parent = top covisible KF at first connection update; surgically
+        # reassigned on erase (SetBadFlag).  Loop edges (mspLoopEdges) persist
+        # across loop events and keep feeding the essential graph.
+        self.kf_parent = np.full(K, -1, np.int32)
+        self.kf_first_connection = np.ones(K, bool)
+        self.loop_edges: set = set()   # undirected (min_kid, max_kid) pairs
         self._next_kf = 0
         # incremental observation index: pid -> {kf: slot}.  kf_obs stays the
         # source of truth for batched reads; the index makes per-point
@@ -247,10 +254,61 @@ class MapStore:
                 self.kf_obs[kid, slot] = -1
         return kid
 
-    def erase_keyframe(self, kid):
-        """KeyFrame::SetBadFlag (graph surgery simplified: observations drop)."""
+    def update_spanning_tree(self, kid):
+        """First-connection parent assignment (KeyFrame::UpdateConnections,
+        KeyFrame.cpp:373-381: parent = the top covisible keyframe)."""
+        if kid == 0 or not self.kf_first_connection[kid]:
+            return
+        w = self.covisibility_weights(kid)
+        w[kid:] = 0  # parent must precede the child (acyclic by construction)
+        best = int(np.argmax(w))
+        if w[best] > 0:
+            self.kf_parent[kid] = best
+            self.kf_first_connection[kid] = False
+
+    def children_of(self, kid):
+        return np.flatnonzero((self.kf_parent == kid) & self.kf_alive)
+
+    def add_loop_edge(self, a, b):
+        """KeyFrame::AddLoopEdge both ways (KeyFrame.cpp:404-410)."""
+        self.loop_edges.add((min(int(a), int(b)), max(int(a), int(b))))
+
+    def has_loop_edges(self, kid):
+        return any(kid in e for e in self.loop_edges)
+
+    def erase_keyframe(self, kid, force=False):
+        """KeyFrame::SetBadFlag (KeyFrame.cpp:456-548): drop observations,
+        then reassign this keyframe's children to new parents — iteratively
+        pick the (child, parent-candidate) pair with the highest covisibility
+        weight, the adopted child joining the candidate set; leftovers fall
+        back to the erased keyframe's own parent.
+
+        force=True bypasses the id-0 / loop-edge protection (used only to
+        roll back a just-created keyframe on failed initialization)."""
+        if not force and (kid == 0 or self.has_loop_edges(kid)):
+            return  # mnId==0 / loop-edge keyframes are never erased
         for slot in np.flatnonzero(self.kf_obs[kid] >= 0):
             self.erase_observation(kid, slot)
+
+        parent = int(self.kf_parent[kid])
+        candidates = {parent} if parent >= 0 and self.kf_alive[parent] else set()
+        children = set(int(c) for c in self.children_of(kid))
+        while children and candidates:
+            best_w, best_c, best_p = 0, -1, -1
+            for c in children:
+                w = self.covisibility_weights(c)
+                # candidate must be among the child's connected keyframes
+                # (GetVectorCovisibleKeyFrames ~ weight >= COVIS_TH)
+                for p in candidates:
+                    if w[p] >= COVIS_TH and w[p] > best_w:
+                        best_w, best_c, best_p = int(w[p]), c, p
+            if best_c < 0:
+                break
+            self.kf_parent[best_c] = best_p
+            candidates.add(best_c)
+            children.discard(best_c)
+        for c in children:  # KeyFrame.cpp:535-539
+            self.kf_parent[c] = parent
         self.kf_alive[kid] = False
 
     def keyframe_ids(self):

@@ -316,6 +316,118 @@ local_map_track = partial(jax.jit, static_argnames=("n_levels",))(
     _local_map_track_impl)
 
 
+def _sim3_direction(pos_w, pt_desc, pt_ok, mind_raw, maxd_raw,
+                    R_own, t_own, sR_to_other, t_to_other,
+                    kp_xy, kp_octave, kp_desc, kp_valid,
+                    th, sf, n_levels: int,
+                    min_x, max_x, min_y, max_y, fx, fy, cx, cy, log_scale):
+    """One direction of SearchBySim3: project side-A map points through its
+    own pose then the Sim3 into side-B's camera, window+octave-gate side-B
+    keypoints, best Hamming <= TH_HIGH.  Returns per-A-slot best B slot
+    (-1 = none).  Spec: ORBmatcher.cpp:1135-1211 (and the mirrored loop)."""
+    pc_own = pos_w @ R_own.T + t_own
+    pc = pc_own @ sR_to_other.T + t_to_other
+    z = pc[:, 2]
+    invz = 1.0 / jnp.maximum(z, 1e-9)
+    u = fx * pc[:, 0] * invz + cx
+    v = fy * pc[:, 1] * invz + cy
+    dist3d = jnp.linalg.norm(pc, axis=1)
+    ratio = maxd_raw / jnp.maximum(dist3d, 1e-9)
+    pred = jnp.clip(jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale
+                             ).astype(jnp.int32), 0, n_levels - 1)
+    ok = (pt_ok & (z > 0)
+          & (u >= min_x) & (u <= max_x) & (v >= min_y) & (v <= max_y)
+          & (dist3d >= 0.8 * mind_raw) & (dist3d <= 1.2 * maxd_raw))
+    radius = th * jnp.take(sf, pred)
+    du = jnp.abs(kp_xy[None, :, 0] - u[:, None])
+    dv = jnp.abs(kp_xy[None, :, 1] - v[:, None])
+    cand = (ok[:, None] & kp_valid[None, :]
+            & (du < radius[:, None]) & (dv < radius[:, None])
+            & (kp_octave[None, :] >= pred[:, None] - 1)
+            & (kp_octave[None, :] <= pred[:, None]))
+    dist = jnp.where(cand, hamming_matrix(pt_desc, kp_desc), BIG)
+    best = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    return jnp.where(best_dist <= TH_HIGH, best.astype(jnp.int32), -1)
+
+
+def _search_by_sim3_impl(
+    xy1, oct1, kdesc1, kvalid1, pos1, pdesc1, has1, mind1, maxd1,
+    xy2, oct2, kdesc2, kvalid2, pos2, pdesc2, has2, mind2, maxd2,
+    R1w, t1w, R2w, t2w, s12, R12, t12,
+    th, scale_factors, n_levels: int,
+    min_x, max_x, min_y, max_y, fx, fy, cx, cy, log_scale,
+):
+    """ORBmatcher::SearchBySim3 (ORBmatcher.cpp:1089-1313) as two batched
+    projections + a mutual-agreement check.
+
+    Convention matches the reference: S12 = (s12, R12, t12) maps KF2-camera
+    coords into KF1-camera coords (p1 = s12 R12 p2 + t12).  hasN marks slots
+    carrying an alive, not-already-matched map point; posN/pdescN/mindN/maxdN
+    are that point's world position, distinctive descriptor and raw scale
+    invariance distances.  Returns per-KF1-slot best KF2 slot (-1 = none)
+    where both directions agree.
+    """
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    sR21 = (1.0 / s12) * R12.T
+    t21 = -(sR21 @ t12)
+    sR12 = s12 * R12
+    m1 = _sim3_direction(pos1, pdesc1, has1, mind1, maxd1, R1w, t1w,
+                         sR21, t21, xy2, oct2, kdesc2, kvalid2, th, sf,
+                         n_levels, min_x, max_x, min_y, max_y,
+                         fx, fy, cx, cy, log_scale)
+    m2 = _sim3_direction(pos2, pdesc2, has2, mind2, maxd2, R2w, t2w,
+                         sR12, t12, xy1, oct1, kdesc1, kvalid1, th, sf,
+                         n_levels, min_x, max_x, min_y, max_y,
+                         fx, fy, cx, cy, log_scale)
+    # agreement: m2 of my best slot must point back at me, and the target
+    # slot must itself carry a map point (vpMapPoints2[idx2] non-null)
+    S1 = m1.shape[0]
+    idx2 = jnp.where(m1 >= 0, m1, 0)
+    back = jnp.take(m2, idx2)
+    tgt_has = jnp.take(has2, idx2)
+    agree = (m1 >= 0) & tgt_has & (back == jnp.arange(S1, dtype=jnp.int32))
+    return jnp.where(agree, m1, -1)
+
+
+search_by_sim3 = partial(jax.jit, static_argnames=("n_levels",))(
+    _search_by_sim3_impl)
+
+
+def _search_loop_projection_impl(
+    u, v, pred_level, pt_ok, pt_desc,
+    cur_xy, cur_octave, cur_desc, cur_valid, cur_free,
+    th, scale_factors,
+):
+    """Guided projection of loop-region map points into the current keyframe
+    under the corrected Sim3 pose (ORBmatcher::SearchByProjection(KeyFrame*,
+    Scw, ...), ORBmatcher.cpp:277-391): radius th*sf[predicted level], octave
+    in [pred-1, pred], best Hamming <= TH_LOW, already-matched slots excluded
+    via cur_free.  u/v/pred_level/pt_ok come from frustum_check (which owns
+    the depth / distance-invariance / 60-degree view-angle gates).
+    Returns per-current-slot point index (-1 = none)."""
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    radius = th * jnp.take(sf, pred_level)
+    du = jnp.abs(cur_xy[None, :, 0] - u[:, None])
+    dv = jnp.abs(cur_xy[None, :, 1] - v[:, None])
+    cand = (pt_ok[:, None] & cur_valid[None, :] & cur_free[None, :]
+            & (du < radius[:, None]) & (dv < radius[:, None])
+            & (cur_octave[None, :] >= pred_level[:, None] - 1)
+            & (cur_octave[None, :] <= pred_level[:, None]))
+    dist = jnp.where(cand, hamming_matrix(pt_desc, cur_desc), BIG)
+    best_cur = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_cur[:, None], axis=1)[:, 0]
+    matched = best_dist <= TH_LOW
+    S_cur = cur_xy.shape[0]
+    tgt = jnp.where(matched, best_cur, S_cur)
+    out = jnp.zeros(S_cur + 1, jnp.int32).at[:].set(-1).at[tgt].set(
+        jnp.arange(u.shape[0], dtype=jnp.int32), mode="drop")[:S_cur]
+    return out
+
+
+search_loop_projection = jax.jit(_search_loop_projection_impl)
+
+
 @jax.jit
 def match_brute_force(desc_a, valid_a, angle_a, desc_b, valid_b, angle_b,
                       check_rotation=True, nn_ratio=0.7):

@@ -233,7 +233,29 @@ class Tracker:
             # pt_alive recheck in _consume_fused_local while referring to a
             # different physical point
             last_gen = m.pt_gen[np.maximum(lf.map_points, 0)].copy()
-            cand = self._spec
+            # refresh the speculated candidates with the CURRENT map state:
+            # speculation ran at the end of the previous frame, and the
+            # mapper's BA/fuse may have moved or culled points since.  The
+            # pids stay those chosen at speculation; positions/normals/depth
+            # invariances re-read here under the lock, recycled pids (gen
+            # mismatch) drop out of the alive mask, and the gen snapshot is
+            # re-taken to pair with the re-read data.
+            sidx = self._spec_pid
+            fresh = (self._spec_alive & m.pt_alive[sidx]
+                     & (m.pt_gen[sidx] == self._spec_gen))
+            self._spec_alive = fresh
+            self._spec_gen = m.pt_gen[sidx].copy()
+            cand = dict(self._spec)
+            cand.update(
+                pos=jnp.asarray(m.pt_pos[sidx]),
+                normal=jnp.asarray(m.pt_normal[sidx]),
+                maxd=jnp.asarray(m.pt_max_dist[sidx]),
+                mind=jnp.asarray(m.pt_min_dist[sidx]),
+                desc=jnp.asarray(m.pt_desc[sidx]),
+                alive=jnp.asarray(fresh),
+                pid=jnp.asarray(np.where(fresh, sidx, -1).astype(np.int32)),
+            )
+            self._spec = cand
         # device dispatch + the single pull run OUTSIDE the lock so the
         # async mapping worker overlaps (core/pipeline.py)
         mb = self.cam.bf / self.cam.fx
@@ -263,6 +285,21 @@ class Tracker:
         of _track_local_map (bookkeeping, gates) with device outputs already
         in hand."""
         m = self.map
+        # staleness filter FIRST: the dispatch/pull window ran without the
+        # map lock, so the mapper may have culled points since their data
+        # was uploaded — and _alloc_pt recycles pids, so pt_alive alone
+        # cannot detect reuse.  Compare against the generation snapshots
+        # taken when the data was captured (last frame: at dispatch;
+        # candidates: at speculation/refresh).  Running this before the
+        # covisibility vote keeps recycled impostor pids from voting for
+        # local keyframes or collecting visible/found counters.
+        exp_gen = np.full(frame.n_slots, -1, np.int64)
+        cur_m = np.flatnonzero(fz.m >= 0)
+        exp_gen[cur_m] = fz.last_gen[fz.m[cur_m]]
+        mp = frame.map_points
+        stale = (mp >= 0) & (~m.pt_alive[np.maximum(mp, 0)] |
+                             (m.pt_gen[np.maximum(mp, 0)] != exp_gen))
+        mp[stale] = -1
         # reference-KF vote on the motion-model matches (classic semantics:
         # UpdateLocalKeyFrames runs before the local search)
         local_kfs = self._local_keyframes(frame)
@@ -272,22 +309,14 @@ class Tracker:
         m.pt_visible[cur_pids] += 1
         frame.temp_flag = np.zeros(frame.n_slots, bool)  # temp VO pts drop
         cand_pid = self._spec_pid
-        m.pt_visible[cand_pid[fz.ok]] += 1
+        ok_pid = cand_pid[fz.ok]
+        ok_fresh = m.pt_alive[ok_pid] & (m.pt_gen[ok_pid] == fz.spec_gen[fz.ok])
+        m.pt_visible[ok_pid[ok_fresh]] += 1
         cur = np.flatnonzero(fz.sel >= 0)
-        frame.map_points[cur] = cand_pid[fz.sel[cur]]
-        # the dispatch/pull window ran without the map lock, so the mapper
-        # may have culled points since their data was uploaded — and
-        # _alloc_pt recycles pids, so pt_alive alone cannot detect reuse.
-        # Compare against the generation snapshots taken when the data was
-        # captured (last frame: at dispatch; candidates: at speculation)
-        exp_gen = np.full(frame.n_slots, -1, np.int64)
-        cur_m = np.flatnonzero(fz.m >= 0)
-        exp_gen[cur_m] = fz.last_gen[fz.m[cur_m]]
-        exp_gen[cur] = fz.spec_gen[fz.sel[cur]]
-        mp = frame.map_points
-        stale = (mp >= 0) & (~m.pt_alive[np.maximum(mp, 0)] |
-                             (m.pt_gen[np.maximum(mp, 0)] != exp_gen))
-        mp[stale] = -1
+        sel_pid = cand_pid[fz.sel[cur]]
+        sel_fresh = m.pt_alive[sel_pid] & \
+            (m.pt_gen[sel_pid] == fz.spec_gen[fz.sel[cur]])
+        frame.map_points[cur[sel_fresh]] = sel_pid[sel_fresh]
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = fz.R2
         T[:3, 3] = fz.t2
@@ -333,6 +362,7 @@ class Tracker:
         # generation snapshot paired with the uploaded point data (see
         # _consume_fused_local's staleness check)
         self._spec_gen = m.pt_gen[idx].copy()
+        self._spec_alive = alive
         self._spec = {
             "pos": jnp.asarray(m.pt_pos[idx]),
             "normal": jnp.asarray(m.pt_normal[idx]),
@@ -355,7 +385,7 @@ class Tracker:
         kid = self.map.add_keyframe(frame)
         slots = np.flatnonzero((frame.depth > 0) & frame.valid)
         if len(slots) < 20:
-            self.map.erase_keyframe(kid)
+            self.map.erase_keyframe(kid, force=True)  # roll back failed init
             return
         pw = frame.unproject_stereo_batch(slots)
         for slot, pos in zip(slots, pw):

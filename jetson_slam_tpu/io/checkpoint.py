@@ -21,7 +21,7 @@ _ARRAYS = (
     "pt_ref_kf",
     "kf_alive", "kf_pose", "kf_timestamp", "kf_frame_id", "kf_kp_xy",
     "kf_kp_octave", "kf_kp_angle", "kf_kp_ur", "kf_kp_depth", "kf_desc",
-    "kf_kp_valid", "kf_obs",
+    "kf_kp_valid", "kf_obs", "kf_parent", "kf_first_connection",
 )
 
 
@@ -30,6 +30,8 @@ def save_map(map_store: MapStore, path: str) -> None:
     payload = {name: getattr(map_store, name) for name in _ARRAYS}
     payload["_scalars"] = np.array(
         [getattr(map_store, s) for s in _SCALARS], np.int64)
+    payload["_loop_edges"] = np.array(
+        sorted(map_store.loop_edges), np.int64).reshape(-1, 2)
     np.savez_compressed(path, **payload)
 
 
@@ -42,6 +44,9 @@ def load_map(path: str) -> MapStore:
         m._next_pt = int(scalars[3])
         m._next_kf = int(scalars[4])
         for name in _ARRAYS:
-            setattr(m, name, data[name].copy())
+            if name in data:  # tolerate pre-spanning-tree checkpoints
+                setattr(m, name, data[name].copy())
+        if "_loop_edges" in data:
+            m.loop_edges = {(int(a), int(b)) for a, b in data["_loop_edges"]}
     m.rebuild_obs_index()
     return m

@@ -163,7 +163,7 @@ def fast_score_nms_pallas(stack_u8, roi, threshold: int, n_min: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, S),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, STRIP, Wp), lambda n, j, roi: (n, j, 0),
                          memory_space=pltpu.VMEM),

@@ -24,9 +24,14 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Function-scoped, seeded from the test id: every test gets the same
+    stream regardless of which other tests ran before it (a session-scoped
+    shared rng made statistical assertions depend on suite subsetting)."""
+    import zlib
+
+    return np.random.default_rng(zlib.adler32(request.node.nodeid.encode()))
 
 
 @pytest.fixture(scope="module", autouse=True)
