@@ -71,8 +71,8 @@ def main(argv=None):
     pts, Rs, ts, e_cam, e_pt, obs = build_problem(
         rng, ns.cams, ns.points, FX, FY, CX, CY, BF)
     stereo = np.ones(len(e_cam), bool)
-    fixed = np.zeros(ns.cams, np.float32)
-    fixed[0] = 1.0
+    fixed = np.zeros(ns.cams, bool)
+    fixed[0] = True
     print(f"problem: {ns.cams} cams, {ns.points} pts, {len(e_cam)} edges")
 
     devices = jax.devices()
@@ -85,16 +85,16 @@ def main(argv=None):
         parts = partition_problem(
             n, pts, e_cam, e_pt, obs, stereo,
             np.ones(len(e_cam), np.float32), np.ones(len(e_cam), bool))
-        (pts_p, e_cam_p, e_ptl_p, obs_p, comp_p, delta2_p, inv_s2_p,
-         valid_p, pt_edges_p, per_pts, per_e) = parts
-        step = make_dist_ba(mesh, n_iters=ns.iters)
+        (pts_p, e_cam_p, e_ptl_p, obs_p, stereo_p, inv_s2_p,
+         valid_p, pt_edges_p, per_pts, per_e, e_perm) = parts
+        step = make_dist_ba(mesh, its1=0, its2=ns.iters)
         shard = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         put_s = lambda x: jax.device_put(jnp.asarray(x), shard)
         put_r = lambda x: jax.device_put(jnp.asarray(x), repl)
         args = (put_r(Rs), put_r(ts), put_r(fixed), put_s(pts_p),
-                put_s(e_cam_p), put_s(e_ptl_p), put_s(obs_p), put_s(comp_p),
-                put_s(delta2_p), put_s(inv_s2_p), put_s(valid_p),
+                put_s(e_cam_p), put_s(e_ptl_p), put_s(obs_p),
+                put_s(stereo_p), put_s(inv_s2_p), put_s(valid_p),
                 put_s(pt_edges_p), FX, FY, CX, CY, BF)
         out = step(*args)
         jax.device_get(out[1])  # real readback: block_until_ready is

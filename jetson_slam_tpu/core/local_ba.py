@@ -139,18 +139,31 @@ def local_ba(cam_R, cam_t, cam_fixed, pts,
 def _local_ba(cam_R, cam_t, cam_fixed, pts,
               e_cam, e_pt, obs, is_stereo, inv_sigma2, e_valid,
               pt_edges,
-              fx, fy, cx, cy, bf, its1: int = 5, its2: int = 10):
+              fx, fy, cx, cy, bf, its1: int = 5, its2: int = 10,
+              psum_axis=None):
     """Sparse LM with landmark Schur complement.
 
     Shapes: cam_* (C, ...), pts (P, 3), edges (E, ...), pt_edges (P, D)
     indices into the edge list (-1 = pad).  Returns
     (cam_R', cam_t', pts', outlier (E,) bool).
+
+    psum_axis: when set, this body is running under shard_map with points
+    and edges sharded on that mesh axis (cameras replicated); the reduced
+    camera system (S, rhs, Hcc) and the LM accept-test costs are psum-ed —
+    the ONLY collectives — and everything per-landmark stays local to its
+    shard (parallel/dist_ba.py owns the host-side partitioning).  The
+    Huber phase-1 / outlier-drop / phase-2 semantics are identical on one
+    device and on a mesh because every shard sees the same reduced system
+    and makes the same lambda/accept decisions.
     """
     C = cam_R.shape[0]
     P = pts.shape[0]
     E = e_cam.shape[0]
     D = pt_edges.shape[1]
     dtype = pts.dtype
+
+    def allreduce(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis is not None else x
 
     comp = jnp.stack([jnp.ones(E), jnp.ones(E),
                       is_stereo.astype(dtype)], axis=1)
@@ -196,8 +209,8 @@ def _local_ba(cam_R, cam_t, cam_fixed, pts,
 
     def lm_phase(R0, t0, p0, active, use_huber, n_iters):
         def cost_of(r):
-            return jnp.sum(jnp.where(active,
-                                     robust_cost(chi2_of(r), use_huber), 0.0))
+            return allreduce(jnp.sum(
+                jnp.where(active, robust_cost(chi2_of(r), use_huber), 0.0)))
 
         def build_and_solve(R, t, p, lam, r):
             Jc, Jp = edge_jacobians(R, t, p)       # (E,3,6), (E,3,3)
@@ -216,7 +229,7 @@ def _local_ba(cam_R, cam_t, cam_fixed, pts,
             gc_e = jnp.einsum("eij,ei,e->ej", Jc, rm, w)       # (E,6)
             gp_e = jnp.einsum("eij,ei,e->ej", Jp, rm, w)       # (E,3)
 
-            Hcc = seg_cam(Hcc_e)
+            Hcc = allreduce(seg_cam(Hcc_e))
             gc = seg_cam(gc_e)
             Hpp = seg_pt(Hpp_e)
             gp = seg_pt(gp_e)
@@ -237,10 +250,11 @@ def _local_ba(cam_R, cam_t, cam_fixed, pts,
             A = jax.nn.one_hot(camp, C, dtype=dtype) * pe_ok[..., None]
             T = jnp.einsum("pdc,pdij->pcij", A, Kp)
             U = jnp.einsum("pdc,pdij->pcij", A, Gp)
-            S = -jnp.einsum("pcij,pCkj->cCik", T, U)
+            S = allreduce(-jnp.einsum("pcij,pCkj->cCik", T, U))
             S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
 
-            rhs = -gc + seg_cam(jnp.einsum("eij,ej->ei", K_e, gp[e_pt]))
+            rhs = allreduce(
+                -gc + seg_cam(jnp.einsum("eij,ej->ei", K_e, gp[e_pt])))
 
             # fixed cameras: identity rows/cols, zero rhs
             free = (1.0 - fixed_f)

@@ -42,7 +42,7 @@ def _bucket(n: int, lo: int = 16) -> int:
 
 class LocalMapper:
     def __init__(self, map_store: MapStore, cam, geom, sensor="stereo",
-                 run_ba=True, device=None):
+                 run_ba=True, device=None, mesh=None):
         self.map = map_store
         self.cam = cam
         self.geom = geom
@@ -53,6 +53,14 @@ class LocalMapper:
         # the tracker's, the multi-chip analog of the reference's
         # LocalMapping thread (System.cpp:98-99)
         self.device = device
+        # optional device mesh: local (and global) bundle adjustment runs
+        # landmark-sharded across it (parallel/dist_ba.py) — the BASELINE
+        # north star's distributed BA inside the live SLAM loop
+        self.mesh = mesh
+        self._dist_ba = None
+        if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+            from ..parallel.dist_ba import DistBA
+            self._dist_ba = DistBA(mesh)
         self.queue: list[int] = []
         self._busy = 0
         self.recent_points: list[tuple[int, int]] = []  # (pid, birth_kf)
@@ -450,8 +458,18 @@ class LocalMapper:
 
     def _lba_solve(self, prep):
         """Pure device LM solve over the prepared snapshot — touches no map
-        state (safe to run without the map lock)."""
+        state (safe to run without the map lock).  With a mesh attached the
+        solve runs landmark-sharded over it (one psum per LM iteration);
+        the math is the same shared implementation either way."""
         import jax
+        if self._dist_ba is not None:
+            R2, t2, p2, outlier_orig = self._dist_ba.solve(
+                prep["Rs"], prep["ts"], prep["fixed"], prep["pt_pos"],
+                prep["e_cam"], prep["e_pt"], prep["obs_arr"],
+                prep["is_stereo"], prep["inv_s2"], prep["e_valid"],
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cam.bf)
+            return R2, t2, p2, outlier_orig
         R2, t2, p2, outlier = local_ba(
             jnp.asarray(prep["Rs"]), jnp.asarray(prep["ts"]),
             jnp.asarray(prep["fixed"]),

@@ -30,13 +30,20 @@ COVIS_CONSISTENCY_TH = 3  # reference LoopClosing.cpp:48
 
 class LoopCloser:
     def __init__(self, map_store: MapStore, database: KeyFrameDatabase, cam,
-                 geom, sensor="stereo", run_gba=True):
+                 geom, sensor="stereo", run_gba=True, mesh=None):
         self.map = map_store
         self.db = database
         self.cam = cam
         self.geom = geom
         self.sensor = sensor
         self.run_gba = run_gba
+        # optional device mesh: the full-map BA after a loop correction runs
+        # landmark-sharded over it (parallel/dist_ba.py)
+        self._dist_ba = None
+        if mesh is not None and \
+                int(np.prod(list(mesh.shape.values()))) > 1:
+            from ..parallel.dist_ba import DistBA
+            self._dist_ba = DistBA(mesh)
         self.consistent_groups: list[tuple[set, int]] = []
         self.last_loop_kf = -1
         self.sigma2 = np.asarray(geom.scales, np.float32) ** 2
@@ -112,14 +119,25 @@ class LoopCloser:
         """
         m = self.map
         fix_scale = self.sensor != "mono"
+        # vocabulary node ids at levelsup bucket the SearchByBoW candidates
+        # (ORBmatcher.cpp:155-165 FeatureVector iteration)
+        node_kid = None
+        if self.db is not None:
+            _, _, node_kid = self.db.vocab.transform(m.kf_desc[kid])
+            node_kid = jnp.asarray(node_kid)
         for cand in candidates:
+            node_cand = None
+            if self.db is not None:
+                _, _, node_cand = self.db.vocab.transform(m.kf_desc[cand])
+                node_cand = jnp.asarray(node_cand)
             match, _ = matcher.match_brute_force(
                 jnp.asarray(m.kf_desc[kid]),
                 jnp.asarray(m.kf_kp_valid[kid] & (m.kf_obs[kid] >= 0)),
                 jnp.asarray(m.kf_kp_angle[kid]),
                 jnp.asarray(m.kf_desc[cand]),
                 jnp.asarray(m.kf_kp_valid[cand] & (m.kf_obs[cand] >= 0)),
-                jnp.asarray(m.kf_kp_angle[cand]), nn_ratio=0.75)
+                jnp.asarray(m.kf_kp_angle[cand]), nn_ratio=0.75,
+                node_a=node_kid, node_b=node_cand)
             match = np.asarray(match)
             slots1 = np.flatnonzero(match >= 0)
             if len(slots1) < 20:
@@ -584,15 +602,24 @@ class LoopCloser:
             out[:E] = a
             return out
 
-        R2, t2, p2, outlier = local_ba(
-            jnp.asarray(Rs), jnp.asarray(ts),
-            jnp.asarray(fixed), jnp.asarray(pt_pos),
-            jnp.asarray(padE(e_cam)), jnp.asarray(padE(e_pt)),
-            jnp.asarray(padE(obs_arr)), jnp.asarray(padE(kp_ur >= 0)),
-            jnp.asarray(padE(inv_s2.astype(np.float32), 1.0)),
-            jnp.asarray(padE(np.ones(E, bool))), jnp.asarray(pt_edges),
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
-            its1=5, its2=its)
+        if self._dist_ba is not None:
+            R2, t2, p2, _out = self._dist_ba.solve(
+                Rs, ts, fixed, pt_pos,
+                padE(e_cam), padE(e_pt), padE(obs_arr),
+                padE(kp_ur >= 0), padE(inv_s2.astype(np.float32), 1.0),
+                padE(np.ones(E, bool)),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cam.bf)
+        else:
+            R2, t2, p2, outlier = local_ba(
+                jnp.asarray(Rs), jnp.asarray(ts),
+                jnp.asarray(fixed), jnp.asarray(pt_pos),
+                jnp.asarray(padE(e_cam)), jnp.asarray(padE(e_pt)),
+                jnp.asarray(padE(obs_arr)), jnp.asarray(padE(kp_ur >= 0)),
+                jnp.asarray(padE(inv_s2.astype(np.float32), 1.0)),
+                jnp.asarray(padE(np.ones(E, bool))), jnp.asarray(pt_edges),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cam.bf, its1=5, its2=its)
         R2 = np.asarray(R2); t2 = np.asarray(t2); p2 = np.asarray(p2)
         for i, k in enumerate(kids):
             if not fixed[i]:

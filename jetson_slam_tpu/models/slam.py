@@ -28,7 +28,10 @@ class SlamSystem:
     def __init__(self, config: SLAMConfig, sensor: str = SENSOR_STEREO,
                  vocabulary=None, enable_mapping: bool = True,
                  enable_ba: bool = True, async_mapping: bool = False,
-                 mapping_device=None):
+                 mapping_device=None, mesh=None):
+        # mesh: optional jax.sharding.Mesh — local/global bundle adjustment
+        # runs landmark-sharded across it (parallel/dist_ba.py)
+        self.mesh = mesh
         self.config = config
         self.sensor = sensor
         cam = config.camera
@@ -69,7 +72,8 @@ class SlamSystem:
         cam = self.config.camera
         self.local_mapper = (
             LocalMapper(self.map, cam, self.frontend.geom, sensor=self.sensor,
-                        run_ba=self.enable_ba, device=self.mapping_device)
+                        run_ba=self.enable_ba, device=self.mapping_device,
+                        mesh=self.mesh)
             if self.enable_mapping else None)
         self.database = None
         self.loop_closer = None
@@ -84,7 +88,7 @@ class SlamSystem:
                         kid, self.map.kf_desc[kid][self.map.kf_kp_valid[kid]])
             self.loop_closer = LoopCloser(self.map, self.database, cam,
                                           self.frontend.geom,
-                                          sensor=self.sensor)
+                                          sensor=self.sensor, mesh=self.mesh)
         # async: LocalMapping + LoopClosing on a worker thread, like the
         # reference's System.cpp:97-111 thread spawn; else synchronous stage
         mapper_handle = self.local_mapper
