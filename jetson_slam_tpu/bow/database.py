@@ -1,9 +1,12 @@
 """Keyframe database: loop / relocalization candidate retrieval.
 
-Replacement for src/KeyFrameDatabase.cpp: the inverted file becomes a dense
-(K, n_words) BoW matrix (moderate vocabularies) so shared-word counts and
-accumulated scores are batched matrix ops; the candidate-selection logic
-(min common words, 0.75*best retention, covisibility-group accumulation)
+Replacement for src/KeyFrameDatabase.cpp with the reference's own data
+structure: a per-word INVERTED FILE (KeyFrameDatabase.h `mvInvertedFile`,
+one posting list per vocabulary word) plus sparse per-keyframe BoW vectors,
+so memory is O(total observed words), independent of vocabulary size — a
+1M-word ORBvoc fits (the previous dense (K, n_words) matrix could not).
+Candidate selection (min common words via posting-list walks, 0.8*max-common
+cut, min-score filter, covisibility-group accumulation, 0.75*best retention)
 follows KeyFrameDatabase::DetectLoopCandidates (:80-201) /
 DetectRelocalizationCandidates (:203-315).
 """
@@ -14,28 +17,95 @@ import numpy as np
 from .vocabulary import Vocabulary
 
 
+def _sparse_l1_score(wa, va, wb, vb):
+    """DBoW2 L1 score between two L1-normalized sparse vectors:
+    s = 1 - 0.5 * sum|a - b| = 0.5 * sum_common (|a| + |b| - |a - b|)
+    for normalized non-negative vectors (TemplatedVocabulary::score)."""
+    common, ia, ib = np.intersect1d(wa, wb, assume_unique=True,
+                                    return_indices=True)
+    if len(common) == 0:
+        return 0.0
+    a = va[ia]
+    b = vb[ib]
+    return float(0.5 * np.sum(np.abs(a) + np.abs(b) - np.abs(a - b)))
+
+
 class KeyFrameDatabase:
     def __init__(self, vocab: Vocabulary, max_keyframes=1024):
         self.vocab = vocab
-        self.bow = np.zeros((max_keyframes, vocab.n_words), np.float32)
+        self.max_keyframes = max_keyframes
+        # sparse BoW per keyframe: kid -> (sorted unique word ids, weights)
+        self._vec: dict = {}
+        # inverted file: word id -> list of kids (reference mvInvertedFile)
+        self._postings: dict = {}
         self.has = np.zeros(max_keyframes, bool)
 
     def add(self, kid: int, descriptors: np.ndarray):
-        self.bow[kid] = self.vocab.bow_vector(descriptors)
+        kid = int(kid)
+        if self.has[kid]:
+            self.erase(kid)
+        words, weights = self.vocab.sparse_bow(descriptors)
+        self._vec[kid] = (words, weights)
+        for w in words:
+            self._postings.setdefault(int(w), []).append(kid)
         self.has[kid] = True
 
     def erase(self, kid: int):
+        kid = int(kid)
         self.has[kid] = False
+        words, _ = self._vec.pop(kid, (np.array([], np.int64), None))
+        for w in words:
+            lst = self._postings.get(int(w))
+            if lst is not None:
+                try:
+                    lst.remove(kid)
+                except ValueError:
+                    pass
 
     def bow_of(self, kid):
-        return self.bow[kid]
+        """Sparse (words, weights) of a stored keyframe."""
+        return self._vec[int(kid)]
 
     def score(self, kid_a, kid_b):
-        return Vocabulary.l1_score(self.bow[kid_a], self.bow[kid_b])
+        wa, va = self._vec[int(kid_a)]
+        wb, vb = self._vec[int(kid_b)]
+        return _sparse_l1_score(wa, va, wb, vb)
 
-    def _common_words(self, vec, mask):
-        shared = ((self.bow > 0) & (vec > 0)[None, :]) & mask[:, None]
-        return shared.sum(1)
+    def _common_words(self, words, exclude=()):
+        """#shared words per keyframe via the inverted file (the reference's
+        posting-list walk, KeyFrameDatabase.cpp:90-110)."""
+        counts = np.zeros(self.max_keyframes, np.int64)
+        hit = [self._postings.get(int(w), ()) for w in words]
+        flat = [k for lst in hit for k in lst]
+        if flat:
+            np.add.at(counts, np.asarray(flat, np.int64), 1)
+        counts[~self.has] = 0
+        for e in exclude:
+            counts[e] = 0
+        return counts
+
+    def _group_accumulate(self, cand, scores, map_store):
+        """Covisibility-group score accumulation + 0.75*best retention
+        (KeyFrameDatabase.cpp:140-200)."""
+        acc_scores = []
+        best_of_group = []
+        score_of = {int(c): s for c, s in zip(cand, scores)}
+        for c, s in zip(cand, scores):
+            neigh, _ = map_store.covisible_keyframes(int(c), n=10)
+            acc, best_kf, best_s = s, int(c), s
+            for gk in neigh:
+                gs = score_of.get(int(gk))
+                if gs is None:
+                    continue
+                acc += gs
+                if gs > best_s:
+                    best_s, best_kf = gs, int(gk)
+            acc_scores.append(acc)
+            best_of_group.append(best_kf)
+        acc_scores = np.asarray(acc_scores)
+        th = 0.75 * acc_scores.max()
+        out = {best_of_group[i] for i in np.flatnonzero(acc_scores >= th)}
+        return np.array(sorted(out), np.int64)
 
     def detect_loop_candidates(self, kid, min_score, connected, map_store):
         """KeyFrameDatabase::DetectLoopCandidates (KeyFrameDatabase.cpp:80-201).
@@ -43,70 +113,33 @@ class KeyFrameDatabase:
         connected: covisible KF ids of `kid` (excluded from candidacy).
         Returns candidate KF ids (accumulated-score filtered).
         """
-        mask = self.has.copy()
-        mask[kid] = False
-        mask[connected] = False
-        vec = self.bow[kid]
-        common = self._common_words(vec, mask)
+        words, weights = self._vec[int(kid)]
+        common = self._common_words(words,
+                                    exclude=[int(kid)] + list(connected))
         if common.max(initial=0) == 0:
             return np.array([], np.int64)
         min_common = int(0.8 * common.max())
-        cand = np.flatnonzero((common > min_common) & mask)
+        cand = np.flatnonzero(common > min_common)
         if len(cand) == 0:
             return np.array([], np.int64)
-        scores = np.array([Vocabulary.l1_score(vec, self.bow[c]) for c in cand])
+        scores = np.array([self.score(kid, c) for c in cand])
         keep = scores >= min_score
         cand, scores = cand[keep], scores[keep]
         if len(cand) == 0:
             return np.array([], np.int64)
-        # accumulate over covisibility groups; retain >= 0.75 * best
-        acc_scores = []
-        best_of_group = []
-        for c, s in zip(cand, scores):
-            neigh, _ = map_store.covisible_keyframes(int(c), n=10)
-            group = [int(c)] + [int(n) for n in neigh]
-            acc = 0.0
-            best_kf, best_s = int(c), s
-            for g in group:
-                if g in cand:
-                    gs = scores[np.flatnonzero(cand == g)[0]]
-                    acc += gs
-                    if gs > best_s:
-                        best_s, best_kf = gs, g
-            acc_scores.append(acc)
-            best_of_group.append(best_kf)
-        acc_scores = np.array(acc_scores)
-        th = 0.75 * acc_scores.max()
-        out = {best_of_group[i] for i in np.flatnonzero(acc_scores >= th)}
-        return np.array(sorted(out), np.int64)
+        return self._group_accumulate(cand, scores, map_store)
 
     def detect_relocalization_candidates(self, descriptors, map_store):
         """KeyFrameDatabase::DetectRelocalizationCandidates (:203-315)."""
-        vec = self.vocab.bow_vector(descriptors)
-        mask = self.has.copy()
-        common = self._common_words(vec, mask)
+        words, weights = self.vocab.sparse_bow(descriptors)
+        common = self._common_words(words)
         if common.max(initial=0) == 0:
             return np.array([], np.int64)
         min_common = int(0.8 * common.max())
-        cand = np.flatnonzero((common > min_common) & mask)
+        cand = np.flatnonzero(common > min_common)
         if len(cand) == 0:
             return np.array([], np.int64)
-        scores = np.array([Vocabulary.l1_score(vec, self.bow[c]) for c in cand])
-        acc_scores = []
-        best_of_group = []
-        for c, s in zip(cand, scores):
-            neigh, _ = map_store.covisible_keyframes(int(c), n=10)
-            group = [int(c)] + [int(n) for n in neigh]
-            acc, best_kf, best_s = 0.0, int(c), s
-            for g in group:
-                if g in cand:
-                    gs = scores[np.flatnonzero(cand == g)[0]]
-                    acc += gs
-                    if gs > best_s:
-                        best_s, best_kf = gs, g
-            acc_scores.append(acc)
-            best_of_group.append(best_kf)
-        acc_scores = np.array(acc_scores)
-        th = 0.75 * acc_scores.max()
-        out = {best_of_group[i] for i in np.flatnonzero(acc_scores >= th)}
-        return np.array(sorted(out), np.int64)
+        scores = np.array([
+            _sparse_l1_score(words, weights, *self._vec[int(c)])
+            for c in cand])
+        return self._group_accumulate(cand, scores, map_store)

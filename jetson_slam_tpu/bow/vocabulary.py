@@ -162,6 +162,22 @@ class Vocabulary:
         s = vec.sum()
         return vec / s if s > 0 else vec
 
+    def sparse_bow(self, descs: np.ndarray):
+        """Sparse L1-normalized tf-idf BoW: (sorted unique word ids (M,),
+        weights (M,) float32).  Memory O(#descriptors) regardless of
+        vocabulary size — the form the inverted-file KeyFrameDatabase
+        stores (DBoW2 BowVector is exactly this sparse map)."""
+        if len(descs) == 0:
+            return np.array([], np.int64), np.array([], np.float32)
+        words, w, _ = self.transform(descs)
+        uniq, inv = np.unique(words, return_inverse=True)
+        vec = np.zeros(len(uniq), np.float32)
+        np.add.at(vec, inv, w.astype(np.float32))
+        s = vec.sum()
+        if s > 0:
+            vec /= s
+        return uniq.astype(np.int64), vec
+
     @staticmethod
     def l1_score(v1, v2):
         """DBoW2 L1Scoring: s = 1 - 0.5*|v1/|v1| - v2/|v2||_1 in [0, 1]."""
@@ -180,11 +196,14 @@ class Vocabulary:
         with _open_text(path, "wt") as f:
             f.write(f"{self.k} {self.L} 0 0\n")
             order = self._dfs_order()
-            pos = {0: -1}
+            # parent references must use the id each node gets from its
+            # POSITION in the file (load_text numbers nodes by line order),
+            # not the in-memory numbering
+            newid = {node: i for i, node in enumerate(order)}
             for node in order:
                 if node == 0:
                     continue
-                parent = self._parent_of(node)
+                parent = newid[self._parent_of(node)]
                 d = " ".join(str(int(b)) for b in self.centroids[node])
                 is_leaf = 1 if self.is_leaf[node] else 0
                 wid = self.word_id[node]

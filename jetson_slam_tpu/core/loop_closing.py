@@ -45,6 +45,12 @@ class LoopCloser:
             from ..parallel.dist_ba import DistBA
             self._dist_ba = DistBA(mesh)
         self.consistent_groups: list[tuple[set, int]] = []
+        # async GBA: set async_gba=True (and gba_lock to the map lock) to
+        # run the post-loop full BA on a transient thread with catch-up
+        # correction, like the reference's mpThreadGBA
+        self.async_gba = False
+        self.gba_lock = None
+        self._gba_thread = None
         self.last_loop_kf = -1
         self.sigma2 = np.asarray(geom.scales, np.float32) ** 2
         self.n_loops_closed = 0
@@ -415,7 +421,12 @@ class LoopCloser:
         self._optimize_essential_graph(kid, loop_kf, pre_poses,
                                        set(int(k) for k in group))
         if self.run_gba:
-            self.global_bundle_adjustment()
+            if self.async_gba:
+                # reference: transient GBA thread; mapping continues and
+                # gets caught up at commit (LoopClosing.cpp:650-754)
+                self.launch_async_gba(lock=self.gba_lock)
+            else:
+                self.global_bundle_adjustment()
 
     # ------------------------------------------------------------------
     def _essential_edges(self, kids):
@@ -543,12 +554,51 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def global_bundle_adjustment(self, its=10):
-        """Optimizer::GlobalBundleAdjustemnt via the Schur LM (full map)."""
+        """Optimizer::GlobalBundleAdjustemnt via the Schur LM (full map),
+        synchronous: prepare -> solve -> commit in place."""
+        prep = self._gba_prepare(its)
+        if prep is None:
+            return
+        sol = self._gba_solve(prep)
+        self._gba_commit(prep, sol)
+
+    def launch_async_gba(self, its=10, lock=None):
+        """The reference's transient GBA thread
+        (LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cpp:650-754):
+        snapshot the problem now (caller holds the map lock), solve on a
+        separate thread WITHOUT the lock so mapping/tracking continue, then
+        commit under the lock with spanning-tree catch-up correction of
+        keyframes and points created during the solve.
+        Returns the Thread (already started), or None if the problem is too
+        small or a previous GBA is still running."""
+        import threading
+
+        if getattr(self, "_gba_thread", None) is not None and \
+                self._gba_thread.is_alive():
+            return None
+        prep = self._gba_prepare(its)
+        if prep is None:
+            return None
+        import contextlib
+        lock = lock if lock is not None else contextlib.nullcontext()
+
+        def run():
+            sol = self._gba_solve(prep)   # pure device work, no map access
+            with lock:
+                self._gba_commit(prep, sol)
+
+        t = threading.Thread(target=run, name="gba", daemon=True)
+        self._gba_thread = t
+        t.start()
+        return t
+
+    def _gba_prepare(self, its=10):
+        """Snapshot the full-map BA problem (call under the map lock)."""
         m = self.map
         kids = m.keyframe_ids()
         pids = np.flatnonzero(m.pt_alive)
         if len(kids) < 3 or len(pids) < 30:
-            return
+            return None
         pos_c = {int(k): i for i, k in enumerate(kids)}
         pos_p = {int(p): i for i, p in enumerate(pids)}
         e_cam, e_pt, e_kf, e_slot = [], [], [], []
@@ -602,28 +652,98 @@ class LoopCloser:
             out[:E] = a
             return out
 
+        return dict(kids=kids, pids=pids, fixed=fixed, Rs=Rs, ts=ts,
+                    pt_pos=pt_pos, e_cam=padE(e_cam), e_pt=padE(e_pt),
+                    obs_arr=padE(obs_arr), is_stereo=padE(kp_ur >= 0),
+                    inv_s2=padE(inv_s2.astype(np.float32), 1.0),
+                    e_valid=padE(np.ones(E, bool)), pt_edges=pt_edges,
+                    its=its, P=P,
+                    # snapshot watermark: keyframes/points allocated after
+                    # this need catch-up correction at commit
+                    next_kf=m._next_kf,
+                    pt_gen=m.pt_gen[pids].copy())
+
+    def _gba_solve(self, prep):
+        """Pure device LM over the snapshot — touches no map state."""
         if self._dist_ba is not None:
             R2, t2, p2, _out = self._dist_ba.solve(
-                Rs, ts, fixed, pt_pos,
-                padE(e_cam), padE(e_pt), padE(obs_arr),
-                padE(kp_ur >= 0), padE(inv_s2.astype(np.float32), 1.0),
-                padE(np.ones(E, bool)),
+                prep["Rs"], prep["ts"], prep["fixed"], prep["pt_pos"],
+                prep["e_cam"], prep["e_pt"], prep["obs_arr"],
+                prep["is_stereo"], prep["inv_s2"], prep["e_valid"],
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 self.cam.bf)
-        else:
-            R2, t2, p2, outlier = local_ba(
-                jnp.asarray(Rs), jnp.asarray(ts),
-                jnp.asarray(fixed), jnp.asarray(pt_pos),
-                jnp.asarray(padE(e_cam)), jnp.asarray(padE(e_pt)),
-                jnp.asarray(padE(obs_arr)), jnp.asarray(padE(kp_ur >= 0)),
-                jnp.asarray(padE(inv_s2.astype(np.float32), 1.0)),
-                jnp.asarray(padE(np.ones(E, bool))), jnp.asarray(pt_edges),
-                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                self.cam.bf, its1=5, its2=its)
-        R2 = np.asarray(R2); t2 = np.asarray(t2); p2 = np.asarray(p2)
+            return np.asarray(R2), np.asarray(t2), np.asarray(p2)
+        import jax
+        R2, t2, p2, _ = local_ba(
+            jnp.asarray(prep["Rs"]), jnp.asarray(prep["ts"]),
+            jnp.asarray(prep["fixed"]), jnp.asarray(prep["pt_pos"]),
+            jnp.asarray(prep["e_cam"]), jnp.asarray(prep["e_pt"]),
+            jnp.asarray(prep["obs_arr"]), jnp.asarray(prep["is_stereo"]),
+            jnp.asarray(prep["inv_s2"]), jnp.asarray(prep["e_valid"]),
+            jnp.asarray(prep["pt_edges"]),
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            self.cam.bf, its1=5, its2=prep["its"])
+        R2, t2, p2 = jax.device_get((R2, t2, p2))
+        return np.asarray(R2), np.asarray(t2), np.asarray(p2)
+
+    def _gba_commit(self, prep, sol):
+        """Write the solved poses/points back and catch up everything
+        created while the solve ran (LoopClosing.cpp:698-754): keyframes
+        outside the snapshot inherit their spanning-tree ancestor's
+        old->new correction; points outside it move with their reference
+        keyframe."""
+        from ..utils.lie import project_so3_np
+        m = self.map
+        R2, t2, p2 = sol
+        kids, pids, fixed = prep["kids"], prep["pids"], prep["fixed"]
+        P = prep["P"]
+        in_gba = np.zeros(m.max_keyframes, bool)
+        in_gba[kids] = True
+        old_R = m.kf_pose[kids, :3, :3].copy()
+        old_t = m.kf_pose[kids, :3, 3].copy()
+        pos_c = {int(k): i for i, k in enumerate(kids)}
+
+        def corrected(i):
+            if fixed[i]:
+                return m.kf_pose[kids[i], :3, :3], m.kf_pose[kids[i], :3, 3]
+            return R2[i], t2[i]
+
+        # keyframes created during the solve: T_new = T_child * T_anc_old^-1
+        # * T_anc_new via the nearest spanning-tree ancestor in the snapshot
+        for k in m.keyframe_ids():
+            if in_gba[k]:
+                continue
+            anc = int(m.kf_parent[k])
+            hops = 0
+            while anc >= 0 and not in_gba[anc] and hops < 64:
+                anc = int(m.kf_parent[anc])
+                hops += 1
+            if anc < 0 or not in_gba[anc]:
+                continue
+            i = pos_c[anc]
+            Ra_new, ta_new = corrected(i)
+            T_ck_R = m.kf_pose[k, :3, :3] @ old_R[i].T
+            T_ck_t = m.kf_pose[k, :3, 3] - T_ck_R @ old_t[i]
+            m.kf_pose[k, :3, :3] = project_so3_np(T_ck_R @ Ra_new)
+            m.kf_pose[k, :3, 3] = T_ck_R @ ta_new + T_ck_t
+
+        # points created (or re-allocated) during the solve: move with
+        # their reference keyframe's old->new transform
+        gen_ok = np.zeros(m.max_points, bool)
+        gen_ok[pids] = m.pt_gen[pids] == prep["pt_gen"]
+        for pid in np.flatnonzero(m.pt_alive & ~gen_ok):
+            ref = int(m.pt_ref_kf[pid])
+            if ref not in pos_c:
+                continue
+            i = pos_c[ref]
+            Rn, tn = corrected(i)
+            pc = old_R[i] @ m.pt_pos[pid] + old_t[i]
+            m.pt_pos[pid] = Rn.T @ (pc - tn)
+
+        # snapshot members: write solved values (skipping recycled pids)
         for i, k in enumerate(kids):
-            if not fixed[i]:
-                from ..utils.lie import project_so3_np
+            if not fixed[i] and m.kf_alive[k]:
                 m.kf_pose[k, :3, :3] = project_so3_np(R2[i])
                 m.kf_pose[k, :3, 3] = t2[i]
-        m.pt_pos[pids] = p2[:P]
+        keep = m.pt_alive[pids] & gen_ok[pids]
+        m.pt_pos[pids[keep]] = p2[:P][keep]

@@ -430,16 +430,23 @@ search_loop_projection = jax.jit(_search_loop_projection_impl)
 
 @jax.jit
 def match_brute_force(desc_a, valid_a, angle_a, desc_b, valid_b, angle_b,
-                      check_rotation=True, nn_ratio=0.7):
+                      check_rotation=True, nn_ratio=0.7,
+                      node_a=None, node_b=None):
     """All-pairs descriptor matching with ratio + rotation gates.
 
-    Superset-candidate variant of ORBmatcher::SearchByBoW (ORBmatcher.cpp:146-
-    275): without the vocabulary the candidate set is all valid pairs; gates
-    (TH_LOW, nn ratio, rotation histogram) are identical.
+    ORBmatcher::SearchByBoW (ORBmatcher.cpp:146-275) as one masked MXU
+    Hamming matrix.  When node_a/node_b (vocabulary node ids at `levelsup`,
+    bow/vocabulary.transform) are given, candidates are restricted to pairs
+    in the SAME node — the reference's FeatureVector bucketing, which both
+    prunes aliased matches and matches the behavior contract; without them
+    the candidate set is all valid pairs (a superset).  Gates (TH_LOW, nn
+    ratio, rotation histogram) are identical either way.
     Returns per-a-slot index into b (-1 = none).
     """
-    dist = jnp.where(valid_a[:, None] & valid_b[None, :],
-                     hamming_matrix(desc_a, desc_b), BIG)
+    ok = valid_a[:, None] & valid_b[None, :]
+    if node_a is not None:
+        ok = ok & (node_a[:, None] == node_b[None, :])
+    dist = jnp.where(ok, hamming_matrix(desc_a, desc_b), BIG)
     best_b = jnp.argmin(dist, axis=1)
     best_dist = jnp.take_along_axis(dist, best_b[:, None], axis=1)[:, 0]
     d2 = dist.at[jnp.arange(dist.shape[0]), best_b].set(BIG)

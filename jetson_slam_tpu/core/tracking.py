@@ -13,12 +13,14 @@ from __future__ import annotations
 import enum
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import matcher
 from .frame import Frame
 from .map import MapStore
-from .optimizer import pose_optimization
+from .optimizer import pose_optimization, _pose_optimization
+from .pnp_solver import pnp_ransac
 
 
 class TrackingState(enum.Enum):
@@ -814,60 +816,108 @@ class Tracker:
             self.local_mapper.insert_keyframe(kid)
 
     # ================================================== relocalization
+    RELOC_MAX_CANDIDATES = 8  # one compiled shape; DB rarely returns more
+
     def _relocalization(self, frame: Frame):
         """Tracking::Relocalization (Tracking.cpp:1954-2115): BoW candidate
         keyframes (KeyFrameDatabase) -> descriptor matching -> PnP RANSAC ->
         pose optimization.  Falls back to the most recent keyframes when no
-        vocabulary/database is configured."""
+        vocabulary/database is configured.
+
+        All candidates ride ONE device program (matching, PnP RANSAC, and
+        pose LM vmapped over the padded candidate axis), so relocalization
+        costs one round-trip regardless of candidate count — the per-
+        candidate loop was a ~0.5-1 s stall at this environment's ~24 ms
+        tunnel RTT."""
         m = self.map
         if self.database is not None:
             kfs = self.database.detect_relocalization_candidates(
                 frame.desc[frame.valid], m)
             kfs = [int(k) for k in kfs if m.kf_alive[k]]
         else:
-            kfs = m.keyframe_ids()[-10:]
-        for kid in kfs[::-1]:
-            match, _ = matcher.match_brute_force(
-                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-                jnp.asarray(frame.angle),
-                jnp.asarray(m.kf_desc[kid]),
-                jnp.asarray(m.kf_kp_valid[kid] & (m.kf_obs[kid] >= 0)),
-                jnp.asarray(m.kf_kp_angle[kid]), nn_ratio=0.75)
-            match = np.asarray(match)
-            cur = np.flatnonzero(match >= 0)
-            pids = m.kf_obs[kid][match[cur]]
-            good = pids >= 0
-            good[good] &= m.pt_alive[pids[good]]
-            if good.sum() < 15:
-                continue
-            frame.map_points[:] = -1
-            frame.map_points[cur[good]] = pids[good]
-            frame.temp_flag = np.zeros(frame.n_slots, bool)
-            frame.temp_world = np.zeros((frame.n_slots, 3), np.float32)
-            # initial pose from PnP RANSAC (reference: PnPsolver EPnP)
-            sel = cur[good]
-            if len(sel) >= 6:
-                from .pnp_solver import pnp_ransac
-                import jax
-                pw = m.pt_pos[frame.map_points[sel]]
-                uv = frame.kp_xy[sel]
-                inv_s2 = self.inv_level_sigma2[frame.octave[sel]]
-                R, t, inl, n_inl = pnp_ransac(
-                    jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(inv_s2),
-                    jnp.asarray(np.ones(len(sel), bool)),
-                    self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                    jax.random.PRNGKey(frame.frame_id), n_hyp=256)
-                if int(n_inl) >= 8:
-                    T = np.eye(4, dtype=np.float32)
-                    T[:3, :3] = np.asarray(R)
-                    T[:3, 3] = np.asarray(t)
-                    frame.set_pose(T)
-                else:
-                    frame.set_pose(m.kf_pose[kid])
-            else:
-                frame.set_pose(m.kf_pose[kid])
-            n = self._optimize_pose(frame)
-            if n >= 20:
-                self.last_reloc_frame_id = frame.frame_id
-                return True
-        return False
+            kfs = [int(k) for k in m.keyframe_ids()[-10:]][::-1]
+        if not kfs:
+            return False
+        C = self.RELOC_MAX_CANDIDATES
+        kfs = kfs[:C]
+        n_real = len(kfs)
+        pad_kfs = kfs + [kfs[0]] * (C - n_real)
+        idx = np.asarray(pad_kfs, np.int64)
+        obs = m.kf_obs[idx]                                # (C, S)
+        safe = np.maximum(obs, 0)
+        has = (obs >= 0) & m.pt_alive[safe] & m.kf_kp_valid[idx]
+        has[n_real:] = False                               # padded candidates
+        import jax
+        n_match, n_final, R2, t2, inlier, match = jax.device_get(
+            _batched_reloc(
+                frame.dev("desc"), frame.dev("valid"), frame.dev("angle"),
+                frame.dev("kp_xy"), frame.dev("u_right"),
+                jnp.asarray(self.inv_level_sigma2[frame.octave]),
+                jnp.asarray(m.kf_desc[idx]), jnp.asarray(has),
+                jnp.asarray(m.kf_kp_angle[idx]),
+                jnp.asarray(m.pt_pos[safe]),
+                jnp.asarray(m.kf_pose[idx, :3, :3]),
+                jnp.asarray(m.kf_pose[idx, :3, 3]),
+                self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cam.bf, jax.random.PRNGKey(frame.frame_id)))
+        # accept the best candidate passing the reference gates
+        # (>= 15 matches to try, >= 20 optimized inliers to accept)
+        ok = (n_match >= 15) & (n_final >= 20)
+        ok[n_real:] = False
+        if not ok.any():
+            return False
+        best = int(np.argmax(np.where(ok, n_final, -1)))
+        kid = kfs[best]
+        mb = match[best]
+        cur = np.flatnonzero(mb >= 0)
+        pids = m.kf_obs[kid][mb[cur]]
+        good = (pids >= 0)
+        good[good] &= m.pt_alive[pids[good]]
+        frame.map_points[:] = -1
+        frame.map_points[cur[good]] = pids[good]
+        frame.temp_flag = np.zeros(frame.n_slots, bool)
+        frame.temp_world = np.zeros((frame.n_slots, 3), np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R2[best]
+        T[:3, 3] = t2[best]
+        frame.set_pose(T)
+        frame.outlier = (frame.map_points >= 0) & ~inlier[best]
+        self.last_reloc_frame_id = frame.frame_id
+        return True
+
+
+@jax.jit
+def _batched_reloc(f_desc, f_valid, f_angle, f_xy, f_ur, f_inv_s2,
+                   c_desc, c_has, c_angle, c_pw, c_R, c_t,
+                   fx, fy, cx, cy, bf, key):
+    """All relocalization candidates in ONE device program: per candidate,
+    brute-force matching (SearchByBoW gates) -> PnP RANSAC -> motion-only
+    pose LM, vmapped over the padded candidate axis.
+
+    Spec: Tracking::Relocalization (Tracking.cpp:1954-2115) — candidate
+    gates (>= 15 matches, PnP >= 8 inliers else seed from the candidate's
+    own pose, accept at >= 20 optimized inliers) are applied by the caller
+    on the returned counts.
+    Returns (n_match (C,), n_final (C,), R (C,3,3), t (C,3),
+    inlier (C, S_frame), match (C, S_frame))."""
+    C = c_desc.shape[0]
+
+    def one(cdesc, chas, cangle, cpw, cR, ct, k):
+        match, _ = matcher.match_brute_force(
+            f_desc, f_valid, f_angle, cdesc, chas, cangle, nn_ratio=0.75)
+        has = match >= 0
+        midx = jnp.where(has, match, 0)
+        pw = jnp.take(cpw, midx, axis=0)
+        n_match = jnp.sum(has)
+        R0, t0, _inlp, n_pnp = pnp_ransac(
+            pw, f_xy, f_inv_s2, has, fx, fy, cx, cy, k, n_hyp=256)
+        use_pnp = n_pnp >= 8
+        R0 = jnp.where(use_pnp, R0, cR)
+        t0 = jnp.where(use_pnp, t0, ct)
+        with jax.default_matmul_precision("highest"):
+            R2, t2, inlier, n2 = _pose_optimization(
+                R0, t0, pw, f_xy, f_ur, f_inv_s2, has, fx, fy, cx, cy, bf)
+        return n_match, n2, R2, t2, inlier, match
+
+    keys = jax.random.split(key, C)
+    return jax.vmap(one)(c_desc, c_has, c_angle, c_pw, c_R, c_t, keys)

@@ -99,6 +99,11 @@ class SlamSystem:
                                                  self.loop_closer)
             mapper_handle = self.pipeline
             map_lock = self.pipeline.lock
+            if self.loop_closer is not None:
+                # post-loop global BA runs on its own transient thread with
+                # catch-up correction (LoopClosing.cpp:650-754 semantics)
+                self.loop_closer.async_gba = True
+                self.loop_closer.gba_lock = map_lock
         self.tracker = Tracker(self.frontend, cam, self.map,
                                sensor=self.sensor,
                                local_mapper=mapper_handle,
@@ -178,6 +183,11 @@ class SlamSystem:
             self.pipeline = None
         else:
             self._run_mapping()
+        # join a transient GBA thread (System.cpp:326 waits for mpThreadGBA)
+        if self.loop_closer is not None:
+            t = getattr(self.loop_closer, "_gba_thread", None)
+            if t is not None and t.is_alive():
+                t.join(timeout=120.0)
 
     # -------------------------------------------------------- checkpoints
     def save_map(self, path):

@@ -19,7 +19,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-MARGIN = 19  # covers rBRIEF rotated offsets (<= 19), IC patch (15), stereo (11)
+# band margin around each tile: rBRIEF rotated offsets reach <= 19, plus 3
+# for the 7x7 gaussian support when the blur runs band-local (the fused
+# Pallas descriptor kernel, ops/pallas_descriptor.py); also covers the IC
+# patch (15) and the stereo correlation strip (11)
+MARGIN = 22
 
 
 def band_shape(tile_hs, tile_ws) -> tuple:

@@ -332,7 +332,7 @@ class OrbFrontend:
                  fast_n_min=9, fast_n_max=16, threshold=20,
                  tile_h=30, tile_w=30, fixed_multi_scale_tile_size=False,
                  apply_nms_ms=False, mask=None, quantize_level0_coords=False,
-                 subpixel=True, use_pallas="auto"):
+                 subpixel=True, use_pallas="auto", use_pallas_desc="auto"):
         # quantize_level0_coords=True reproduces the reference's int cast in
         # copy_output (orb_copy_output.cu:35: keypoints_x_op is int*), which
         # quantizes level-L keypoints by scale^L pixels at level 0.  Off by
@@ -347,17 +347,25 @@ class OrbFrontend:
         g = self.geom
         self.threshold = int(threshold)
         self.fast_n_min = int(fast_n_min)
+        self.fast_n_max = int(fast_n_max)
         self.apply_nms_ms = bool(apply_nms_ms) and n_levels > 1
         # Pallas fused FAST+NMS-L kernel (ops/pallas_frontend.py): the
-        # arithmetic segment test it uses is exactly the LUT iff n_max >= 16,
-        # and the kernel has no mask support; fall back to XLA otherwise.
+        # arithmetic segment test is bit-equivalent to the LUT for EVERY
+        # (n_min, n_max) and masks ride as a second DMA'd canvas, so masked
+        # rigs (stereo_rig_realsense.yaml) keep the fast path.
         # use_pallas: "auto" -> on real TPU only; True -> always (interpreted
         # off-TPU, for tests); False -> XLA path.
-        eligible = fast_n_max >= 16 and mask is None
         if use_pallas == "auto":
-            self._use_pallas = eligible and jax.default_backend() == "tpu"
+            self._use_pallas = jax.default_backend() == "tpu"
         else:
-            self._use_pallas = bool(use_pallas) and eligible
+            self._use_pallas = bool(use_pallas)
+        # fused blur+IC+rBRIEF kernel (ops/pallas_descriptor.py): no config
+        # constraints; "auto" -> real TPU only (interpreted execution is too
+        # slow for CPU test suites — a dedicated unit test covers interpret)
+        if use_pallas_desc == "auto":
+            self._use_pallas_desc = jax.default_backend() == "tpu"
+        else:
+            self._use_pallas_desc = bool(use_pallas_desc)
         self._pallas_interpret = jax.default_backend() != "tpu"
         self.lut = jnp.asarray(tables.fast_lut(fast_n_min, fast_n_max).astype(np.int32))
         self.gauss = jnp.asarray(tables.gaussian_weights())
@@ -411,6 +419,29 @@ class OrbFrontend:
         band_y0, band_x0 = slot_band_origins(g)
         self._band_y0 = jnp.asarray(band_y0)
         self._band_x0 = jnp.asarray(band_x0)
+        # per-slot static meta for the Pallas descriptor kernel:
+        # [band_y0, band_x0, level_h, level_w, 0, 0]
+        smeta = np.zeros((self.n_slots_padded, 6), np.int32)
+        smeta[:, 0] = band_y0
+        smeta[:, 1] = band_x0
+        smeta[:, 2] = np.asarray(g.heights, np.int32)[lvl]
+        smeta[:, 3] = np.asarray(g.widths, np.int32)[lvl]
+        # band-local blur support: band matrices sized to the band, plus the
+        # static per-slot interior mask (pixels >= 3 from the TRUE level
+        # border keep their raw value, orb_gaussian.cu:21-110).  Image coords
+        # of band pixel (r, c) in slot k: (band_y0[k] - MARGIN + r, ...)
+        from .bands import MARGIN as _BM
+        bhh, bww = self.band_hw
+        g1b = np.exp(-(np.arange(-3, 4, dtype=np.float64) ** 2) / 200.0)
+        g1b = g1b / g1b.sum()
+        self._band_gy = jnp.asarray(_band_matrix(bhh, g1b).astype(np.float32))
+        self._band_gx = jnp.asarray(_band_matrix(bww, g1b).astype(np.float32))
+        rows_img = band_y0[:, None] - _BM + np.arange(bhh)[None, :]
+        cols_img = band_x0[:, None] - _BM + np.arange(bww)[None, :]
+        rows_ok = (rows_img >= 3) & (rows_img < smeta[:, 2:3] - 3)
+        cols_ok = (cols_img >= 3) & (cols_img < smeta[:, 3:4] - 3)
+        self._band_interior = jnp.asarray(
+            rows_ok[:, :, None] & cols_ok[:, None, :])
         # rBRIEF pattern as device vectors
         pat = tables.orb_pattern().astype(np.float32)
         self._pat_x = jnp.asarray(pat[:, 0])
@@ -455,6 +486,10 @@ class OrbFrontend:
             inv_scales=jnp.asarray(np.asarray(g.inv_scales, np.float32)),
             band_y0=self._band_y0,
             band_x0=self._band_x0,
+            slot_meta=jnp.asarray(smeta),
+            band_gy=self._band_gy,
+            band_gx=self._band_gx,
+            band_interior=self._band_interior,
             lvl_tile_h=jnp.asarray(np.asarray(g.tile_h, np.int32)),
             lvl_tile_w=jnp.asarray(np.asarray(g.tile_w, np.int32)),
             lvl_ntw=jnp.asarray(np.asarray(g.n_tiles_w, np.int32)),
@@ -544,9 +579,17 @@ class OrbFrontend:
             # fused pallas kernel over all B*L canvases in ONE launch
             from .pallas_frontend import fast_score_nms_pallas
             roi = jnp.tile(T["roi_l"], (B, 1))
+            mask_stack = None
+            if self.masks is not None:
+                ms = jnp.zeros((L, H0, W0), jnp.uint8)
+                for i in range(L):
+                    ms = ms.at[i, :g.heights[i], :g.widths[i]].set(
+                        T["masks"][i].astype(jnp.uint8))
+                mask_stack = jnp.tile(ms, (B, 1, 1))
             raw_s, nms_s = fast_score_nms_pallas(
                 raw_stack.reshape(B * L, H0, W0), roi, self.threshold,
-                self.fast_n_min, interpret=self._pallas_interpret)
+                self.fast_n_min, self.fast_n_max, mask_u8=mask_stack,
+                interpret=self._pallas_interpret)
             score_stack = raw_s.reshape(B, L, H0, W0)
             nms_stack = nms_s.reshape(B, L, H0, W0)
             for i in range(L):
@@ -596,61 +639,89 @@ class OrbFrontend:
         # rides one-hot MXU matmuls over these bands — zero gathers.  The
         # former flat-gather rBRIEF (~18 ms/frame) and vmapped-dynamic-slice
         # IC patches (~4 ms/frame) were the two dominant costs of round 1.
-        bands_raw = self._extract_bands(pyr).astype(jnp.bfloat16)
+        bands_u8 = self._extract_bands(pyr)                   # (B, Kp, bh, bw)
+        oy = kp_y - T["band_y0"][None, :]                     # kp - tile origin
+        ox = kp_x - T["band_x0"][None, :]
 
-        # separable gaussian blur of the whole stack on the MXU
-        sf = raw_stack.astype(jnp.float32)
-        t = jnp.einsum("blhw,xw->blhx", sf, T["gx"],
-                       preferred_element_type=jnp.float32)
-        bl = jnp.einsum("oh,blhx->blox", T["gy"], t,
-                        preferred_element_type=jnp.float32)
-        blur_stack = jnp.where(T["blur_interior"][None], jnp.floor(bl), sf)
-        blur_lvls = [blur_stack[:, i, :g.heights[i], :g.widths[i]].astype(
-            jnp.bfloat16) for i in range(L)]
-        bands_blur = self._extract_bands(blur_lvls)
+        if self._use_pallas_desc:
+            # fused Pallas kernel: blur + IC moments + rBRIEF entirely in
+            # VMEM (ops/pallas_descriptor.py); the canvas blur, the second
+            # band extraction and the HBM one-hot selectors all disappear
+            from .pallas_descriptor import orb_descriptors_pallas
+            bh, bw = self.band_hw
+            meta = jnp.concatenate([
+                oy[..., None], ox[..., None],
+                jnp.broadcast_to(T["slot_meta"][None], (B, Kp, 6)),
+            ], axis=-1).astype(jnp.int32)
+            desc_i, mom = orb_descriptors_pallas(
+                bands_u8.reshape(B * Kp, bh, bw),
+                meta.reshape(B * Kp, 8), interpret=self._pallas_interpret)
+            mom = mom.reshape(B, Kp, 8)
+            ang = jnp.arctan2(mom[..., 1], mom[..., 0])       # (B, Kp)
+            desc = desc_i.reshape(B, Kp, 32).astype(jnp.uint8)
+        else:
+            # XLA band-local path: blur, IC moments and rBRIEF all operate
+            # DIRECTLY on the (B, Kp, bh, bw) bands — no canvas blur, no
+            # second band extraction, no intermediate 40x40 windows.  The
+            # band margin (22 = 19 rBRIEF reach + 3 blur support) guarantees
+            # every sampled position has real image pixels under its blur
+            # window (see ops/bands.MARGIN).
+            from .bands import MARGIN
+            bh, bw = self.band_hw
+            bands_raw = bands_u8.astype(jnp.bfloat16)
 
-        # shared 40x40 window selectors: in-band window origin is simply
-        # (kp - tile_origin) because the band margin equals the window half
-        wy0 = kp_y - T["band_y0"][None, :]
-        wx0 = kp_x - T["band_x0"][None, :]
-        from .bands import window_patches
-        patch_raw = window_patches(bands_raw, wy0, wx0,
-                                   DESC_PATCH, DESC_PATCH)   # (B,Kp,40,40) f32
-        patch_blur = window_patches(bands_blur, wy0, wx0,
-                                    DESC_PATCH, DESC_PATCH)
+            # separable 7-tap blur of the bands on the MXU (band matrices),
+            # f32 exact; border-preserve vs the TRUE level border via the
+            # static per-slot interior table
+            bf32 = bands_u8.astype(jnp.float32)
+            tb = jnp.einsum("bkhw,xw->bkhx", bf32, T["band_gx"],
+                            preferred_element_type=jnp.float32)
+            blb = jnp.einsum("oh,bkhx->bkox", T["band_gy"], tb,
+                             preferred_element_type=jnp.float32)
+            bands_blur = jnp.where(T["band_interior"][None],
+                                   jnp.floor(blb), bf32).astype(jnp.bfloat16)
 
-        # intensity-centroid orientation: the 31x31 IC patch is the static
-        # center slice of the 40x40 window; one moment einsum, f32 sums are
-        # integer-exact (every term < 2^24)
-        hp_off = DESC_PATCH_HALF - tables.HALF_PATCH_SIZE  # 4
-        ic_patches = patch_raw[:, :, hp_off:hp_off + IC_PATCH,
-                               hp_off:hp_off + IC_PATCH]
-        m = jnp.einsum("bkyx,yxc->bkc", ic_patches, T["wuv2d"],
-                       preferred_element_type=jnp.float32)
-        ang = jnp.arctan2(m[..., 1], m[..., 0])                      # (B, Kp)
+            # intensity-centroid orientation: 31x31 one-hot window matmuls
+            # over the raw bands (integer-exact: one-hot selection, f32
+            # accumulate, every term < 2^24)
+            iota_bh = jnp.arange(bh, dtype=jnp.int32)
+            iota_bw = jnp.arange(bw, dtype=jnp.int32)
+            u31 = jnp.arange(IC_PATCH, dtype=jnp.int32)
+            r31 = (oy + (MARGIN - tables.HALF_PATCH_SIZE))[..., None] + u31
+            c31 = (ox + (MARGIN - tables.HALF_PATCH_SIZE))[..., None] + u31
+            R31 = (iota_bh == r31[..., None]).astype(jnp.bfloat16)  # (B,Kp,31,bh)
+            C31 = (iota_bw == c31[..., None]).astype(jnp.bfloat16)  # (B,Kp,31,bw)
+            strips = jnp.einsum("bkua,bkaw->bkuw", R31, bands_raw,
+                                preferred_element_type=jnp.float32)
+            patch31 = jnp.einsum("bkuw,bkvw->bkuv",
+                                 strips.astype(jnp.bfloat16), C31,
+                                 preferred_element_type=jnp.float32)
+            m = jnp.einsum("bkuv,uvc->bkc", patch31, T["wuv2d"],
+                           preferred_element_type=jnp.float32)
+            ang = jnp.arctan2(m[..., 1], m[..., 0])            # (B, Kp)
 
-        # rBRIEF: rotate pattern; sample the 40x40 blurred window with
-        # one-hot row-select matmul + col-select reduce (exact: one-hot picks
-        # single integer-valued bf16 entries, f32 accumulate)
-        ca = jnp.cos(ang)[:, :, None]
-        sa = jnp.sin(ang)[:, :, None]
-        px = T["pat_x"][None, None, :]
-        py = T["pat_y"][None, None, :]
-        rows = jnp.round(px * sa + py * ca).astype(jnp.int32)        # (B, Kp, 512)
-        cols = jnp.round(px * ca - py * sa).astype(jnp.int32)
-        iota40 = jnp.arange(DESC_PATCH, dtype=jnp.int32)
-        prow = (iota40 == (rows + DESC_PATCH_HALF)[..., None]).astype(jnp.bfloat16)
-        pcol = (iota40 == (cols + DESC_PATCH_HALF)[..., None]).astype(jnp.bfloat16)
-        t_sel = jnp.einsum("bkja,bkav->bkjv", prow,
-                           patch_blur.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.bfloat16)
-        samples = jnp.einsum("bkjv,bkjv->bkj", t_sel, pcol,
-                             preferred_element_type=jnp.float32)     # (B, Kp, 512)
-        t0 = samples[..., 0::2]
-        t1 = samples[..., 1::2]
-        bits = (t0 < t1).astype(jnp.int32).reshape(B, Kp, 32, 8)
-        weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, None, :]
-        desc = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)    # (B, Kp, 32)
+            # rBRIEF: rotate pattern; sample the blurred band with one-hot
+            # row-select matmul + col-select reduce at ABSOLUTE band
+            # coordinates (kp sits at band position (oy+MARGIN, ox+MARGIN))
+            ca = jnp.cos(ang)[:, :, None]
+            sa = jnp.sin(ang)[:, :, None]
+            px = T["pat_x"][None, None, :]
+            py = T["pat_y"][None, None, :]
+            rows = jnp.round(px * sa + py * ca).astype(jnp.int32)  # (B,Kp,512)
+            cols = jnp.round(px * ca - py * sa).astype(jnp.int32)
+            prow = (iota_bh == (rows + MARGIN + oy[..., None])[..., None]
+                    ).astype(jnp.bfloat16)                     # (B,Kp,512,bh)
+            pcol = (iota_bw == (cols + MARGIN + ox[..., None])[..., None]
+                    ).astype(jnp.bfloat16)                     # (B,Kp,512,bw)
+            t_sel = jnp.einsum("bkja,bkaw->bkjw", prow, bands_blur,
+                               preferred_element_type=jnp.bfloat16)
+            samples = jnp.einsum("bkjw,bkjw->bkj", t_sel, pcol,
+                                 preferred_element_type=jnp.float32)
+            t0 = samples[..., 0::2]
+            t1 = samples[..., 1::2]
+            bits = (t0 < t1).astype(jnp.int32).reshape(B, Kp, 32, 8)
+            weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, None, :]
+            desc = jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
 
         valid = kp_s > 0
         scale = T["slot_scale"][None, :]
@@ -672,7 +743,7 @@ class OrbFrontend:
             octave=octave, size=size, valid=valid,
             desc=desc, lx=kp_x, ly=kp_y,
         )
-        return res, raw_stack, bands_raw
+        return res, raw_stack, bands_u8
 
     def _extract_impl(self, T, img_u8):
         res, _, _ = self._extract_batch_core(T, img_u8[None])

@@ -49,16 +49,17 @@ def _rollx(x, dx: int):
     return pltpu.roll(x, (-dx) % x.shape[1], 1)
 
 
-def _circular_run_ge(mask_u32, n: int):
-    """Per-element test: does the 16-bit ring mask contain a circular run of
-    >= n consecutive set bits?  Doubling chain, all static shifts."""
+def _rot16(x, s):
+    s = s % 16
+    if s == 0:
+        return x
+    return ((x >> np.uint32(s)) | (x << np.uint32(16 - s))) & np.uint32(0xFFFF)
 
-    def rot(x, s):
-        s = s % 16
-        if s == 0:
-            return x
-        return ((x >> np.uint32(s)) | (x << np.uint32(16 - s))) & np.uint32(0xFFFF)
 
+def _run_ge_mask(mask_u32, n: int):
+    """Positional run test: bit i of the result is set iff ring bits
+    i, i+1, ..., i+n-1 (circular, ascending) are ALL set.  Doubling chain,
+    all static shifts."""
     acc = None
     acc_len = 0
     base = mask_u32
@@ -69,17 +70,93 @@ def _circular_run_ge(mask_u32, n: int):
             if acc is None:
                 acc, acc_len = base, base_len
             else:
-                acc = acc & rot(base, acc_len)
+                acc = acc & _rot16(base, acc_len)
                 acc_len += base_len
         k >>= 1
         if k:
-            base = base & rot(base, base_len)
+            base = base & _rot16(base, base_len)
             base_len *= 2
-    return acc != 0
+    return acc
 
 
-def _fast_nms_kernel(roi_ref, hbm_ref, raw_ref, nms_ref, win_ref, sem,
-                     *, threshold: int, n_min: int):
+def _circular_run_ge(mask_u32, n: int):
+    """Does the 16-bit ring mask contain a circular run of >= n set bits?"""
+    return _run_ge_mask(mask_u32, n) != 0
+
+
+def _lin_ge_mask(mask_u32, n: int):
+    """LINEAR run test: bit k set iff bits k..k+n-1 (no wraparound) are all
+    set.  Plain right shifts zero-fill, so runs cannot cross bit 15."""
+    acc = None
+    acc_len = 0
+    base = mask_u32
+    base_len = 1
+    k = n
+    while k > 0:
+        if k & 1:
+            if acc is None:
+                acc, acc_len = base, base_len
+            else:
+                acc = acc & (base >> np.uint32(acc_len))
+                acc_len += base_len
+        k >>= 1
+        if k:
+            base = base & (base >> np.uint32(base_len))
+            base_len *= 2
+    return acc
+
+
+def _popcount16(x):
+    x = x - ((x >> np.uint32(1)) & np.uint32(0x5555))
+    x = (x & np.uint32(0x3333)) + ((x >> np.uint32(2)) & np.uint32(0x3333))
+    x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F)
+    return (x + (x >> np.uint32(8))) & np.uint32(0x001F)
+
+
+def _segment_test(mask_u32, n_min: int, n_max: int):
+    """Full reference segment test, bit-equivalent to the quirky
+    first-maximal-run LUT scan (orb_gpu.cpp:366-436, ops/tables.fast_lut)
+    for every (n_min, n_max); verified over all 65536 masks in
+    tests/test_pallas_frontend.py.
+
+    The scan walks the 16 ring bits MSB->LSB as a LINEAR string: every
+    zero-terminated maximal linear run (including the one starting at bit
+    15) is tested against [n_min, n_max]; only if none matches, the
+    trailing run (ending at bit 0) combined with the leading run (starting
+    at bit 15) is tested.  Entry 0xFFFF is always rejected."""
+    full = np.uint32(0xFFFF)
+    if n_max >= 16:
+        # any circular run >= n_min is in range (runs cap at 16)
+        return (_run_ge_mask(mask_u32, n_min) != 0) & (mask_u32 != full)
+    x = mask_u32 & full
+    # case 1: maximal linear run starting at k with a zero below it
+    # (prev bit k-1 clear, k >= 1) and linear length in [n_min, n_max]
+    lge_min = _lin_ge_mask(x, n_min)
+    lge_cap = _lin_ge_mask(x, n_max + 1)
+    prev_clear = (~(x << np.uint32(1))) & np.uint32(0xFFFE)
+    case1 = (prev_clear & lge_min & (~lge_cap)) != 0
+    # the leading run (start k with k+length-1 == 15, no zero above) is
+    # also tested by the scan: its start has prev clear unless it begins
+    # at k=0 (then it IS the wrap run); lge/~lge_cap already measure its
+    # true linear length because shifts zero-fill past bit 15.
+    # case 2: trailing ones (bits .. 0) + leading ones (bit 15 ..)
+    trail = _popcount16(x & (~(x + np.uint32(1))) & full)
+    inv = (~x) & full
+    fill = inv
+    for sft in (1, 2, 4, 8):
+        fill = fill | (fill >> np.uint32(sft))
+    lead = np.uint32(16) - _popcount16(fill)   # ones above the highest zero
+    wrap = trail + lead
+    case2 = (wrap >= np.uint32(n_min)) & (wrap <= np.uint32(n_max))
+    return (case1 | ((~case1) & case2)) & (x != full)
+
+
+def _fast_nms_kernel(roi_ref, hbm_ref, *rest, threshold: int, n_min: int,
+                     n_max: int, has_mask: bool):
+    if has_mask:
+        (mask_hbm, raw_ref, nms_ref, win_ref, mwin_ref, sem, msem) = rest
+    else:
+        (raw_ref, nms_ref, win_ref, sem) = rest
     n = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -87,6 +164,13 @@ def _fast_nms_kernel(roi_ref, hbm_ref, raw_ref, nms_ref, win_ref, sem,
     copy = pltpu.make_async_copy(
         hbm_ref.at[n, pl.ds(j * STRIP, STRIP + 2 * HALO), :], win_ref, sem)
     copy.start()
+    if has_mask:
+        # per-level binarized mask (orb_gpu.cpp:64-91): only the score rows
+        mcopy = pltpu.make_async_copy(
+            mask_hbm.at[n, pl.ds(j * STRIP + HALO - 1, STRIP + 2), :],
+            mwin_ref, msem)
+        mcopy.start()
+        mcopy.wait()
     copy.wait()
 
     win = win_ref[:].astype(jnp.int32)            # (STRIP + 8, W0)
@@ -116,11 +200,12 @@ def _fast_nms_kernel(roi_ref, hbm_ref, raw_ref, nms_ref, win_ref, sem,
     # early-exit opposite-pair pruning (orb_FAST_compute_score.cu:1470-1520)
     pruned = (within[4] & within[12]) | (within[0] & within[8])
 
-    full = np.uint32(0xFFFF)
-    is_corner = ((_circular_run_ge(bright, n_min) & (bright != full))
-                 | (_circular_run_ge(dark, n_min) & (dark != full)))
+    is_corner = (_segment_test(bright, n_min, n_max)
+                 | _segment_test(dark, n_min, n_max))
 
     score = jnp.where(is_corner & ~pruned, sad, 0)
+    if has_mask:
+        score = jnp.where(mwin_ref[...] > 0, score, 0)
 
     # ROI: global row of score-region row m is j*STRIP - 1 + m
     rows = (jax.lax.broadcasted_iota(jnp.int32, (SC, W0), 0)
@@ -142,14 +227,18 @@ def _fast_nms_kernel(roi_ref, hbm_ref, raw_ref, nms_ref, win_ref, sem,
     nms_ref[0] = jnp.where(ctr >= nmax, ctr, 0)
 
 
-@partial(jax.jit, static_argnames=("threshold", "n_min", "interpret"))
+@partial(jax.jit,
+         static_argnames=("threshold", "n_min", "n_max", "interpret"))
 def fast_score_nms_pallas(stack_u8, roi, threshold: int, n_min: int,
+                          n_max: int = 16, mask_u8=None,
                           interpret: bool = False):
     """Fused FAST score + NMS-L over a batch of pyramid canvases.
 
     stack_u8: (N, H0, W0) uint8 zero-padded canvases (N = eyes x levels).
     roi: (N, 4) int32 rows/cols half-open ROI [y_lo, y_hi, x_lo, x_hi) —
     the true per-level extent shrunk by BORDER_SKIP.
+    mask_u8: optional (N, H0, W0) uint8 per-canvas detection masks
+    (score zeroed where mask == 0, reference orb_gpu.cpp:64-91 semantics).
     Returns (raw_score, nms_score), both (N, H0, W0) int32: raw feeds the
     sub-pixel parabola, nms feeds the per-tile NMS-G argmax.
     """
@@ -159,25 +248,43 @@ def fast_score_nms_pallas(stack_u8, roi, threshold: int, n_min: int,
     Wp = -(-W0 // 128) * 128  # Mosaic: last-dim slices must be 128-aligned
     # halo-pad rows so every strip window is in bounds
     padded = jnp.pad(stack_u8, ((0, 0), (HALO, Hp - H0 + HALO), (0, Wp - W0)))
+    has_mask = mask_u8 is not None
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [pltpu.VMEM((STRIP + 2 * HALO, Wp), jnp.uint8),
+               pltpu.SemaphoreType.DMA(())]
+    operands = [roi, padded]
+    if has_mask:
+        mpadded = jnp.pad(mask_u8,
+                          ((0, 0), (HALO, Hp - H0 + HALO), (0, Wp - W0)))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.insert(1, pltpu.VMEM((STRIP + 2, Wp), jnp.uint8))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+        operands.append(mpadded)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, S),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, STRIP, Wp), lambda n, j, roi: (n, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, STRIP, Wp), lambda n, j, roi: (n, j, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((STRIP + 2 * HALO, Wp), jnp.uint8),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = partial(_fast_nms_kernel, threshold=int(threshold),
-                     n_min=int(n_min))
+                     n_min=int(n_min), n_max=int(n_max), has_mask=has_mask)
     raw, nms = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, Hp, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((N, Hp, Wp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(roi, padded, mpadded) if has_mask else pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(

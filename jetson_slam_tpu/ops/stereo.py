@@ -220,6 +220,8 @@ def stereo_match_bands(
     own band can sit at a neighboring level, so the band is re-derived from
     the scaled right coordinate instead of taken from best_idx's slot).
     """
+    bands_left = bands_left.astype(jnp.bfloat16)     # u8 bands from the
+    bands_right = bands_right.astype(jnp.bfloat16)   # fused extraction
     c = _coarse_match(left, right, scales, inv_scales, level_widths, mbf, min_z)
     xl, xr, yy, lvl = c["xl"], c["xr"], c["yy"], left.octave
     KR = bands_right.shape[0]

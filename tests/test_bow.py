@@ -140,3 +140,80 @@ def test_10k_vocabulary_bundled():
     assert same == pytest.approx(1.0, abs=1e-5)
     # more words -> unrelated scenes share fewer words -> lower cross score
     assert diff_10k < diff_small, (diff_10k, diff_small)
+
+
+def test_sparse_database_memory_bounded():
+    """The inverted-file database must not allocate O(K x n_words): with a
+    100k-word vocabulary the per-KF storage is O(#observed words)
+    (KeyFrameDatabase.h mvInvertedFile semantics)."""
+    import sys
+    from jetson_slam_tpu.core.map import MapStore
+
+    rng = np.random.default_rng(21)
+    base = _synthetic_vocabulary(rng, k=10, L=5)      # 100,000 words
+    assert base.n_words >= 100_000
+    m = MapStore(max_points=256, max_keyframes=64, n_slots=128)
+    db = KeyFrameDatabase(base, max_keyframes=64)
+    frames = []
+    for k in range(10):
+        d = rng.integers(0, 256, (120, 32)).astype(np.uint8)
+        frames.append(d)
+        db.add(k, d)
+        m.kf_alive[k] = True
+    # each KF stores <= 120 (word, weight) pairs, never a dense row
+    total_words = sum(len(db.bow_of(k)[0]) for k in range(10))
+    assert total_words <= 10 * 120
+    assert len(db._postings) <= total_words
+    # retrieval still works through the inverted file
+    q = frames[4].copy()
+    q[:6] = rng.integers(0, 256, (6, 32)).astype(np.uint8)
+    cands = db.detect_relocalization_candidates(q, m)
+    assert 4 in cands
+    # erase removes postings
+    db.erase(4)
+    assert 4 not in db.detect_relocalization_candidates(q, m)
+
+
+def test_100k_vocabulary_roundtrip(tmp_path):
+    """A >= 100k-word vocabulary survives the DBoW2 text round-trip
+    (ORBVocabulary::loadFromTextFile scale check, ORBVocabulary.h:31-32)."""
+    rng = np.random.default_rng(22)
+    voc = _synthetic_vocabulary(rng, k=10, L=5)
+    p = str(tmp_path / "big.txt")
+    voc.save_text(p)
+    v2 = Vocabulary.load_text(p)
+    assert v2.n_words == voc.n_words >= 100_000
+    d = rng.integers(0, 256, (512, 32)).astype(np.uint8)
+    w1, _, _ = voc.transform(d)
+    w2, _, _ = v2.transform(d)
+    # word ids are internal (the text format renumbers leaves in DFS
+    # order); the word PARTITION must be preserved: same-word pairs map to
+    # same-word pairs, bijectively
+    fwd = {}
+    for a, b in zip(w1, w2):
+        assert fwd.setdefault(int(a), int(b)) == int(b)
+    assert len(set(fwd.values())) == len(fwd)
+
+
+def _synthetic_vocabulary(rng, k=10, L=5):
+    """Construct a balanced k^L-leaf vocabulary directly from random
+    centroids (training a real 100k vocab needs millions of descriptors;
+    the loaders/scorers only care about the tree structure)."""
+    n_inner = sum(k ** l for l in range(L))           # nodes with children
+    n_nodes = sum(k ** l for l in range(L + 1))
+    children = np.full((n_nodes, k), -1, np.int32)
+    for n in range(n_inner):
+        base = 1 + n * k
+        children[n] = np.arange(base, base + k, dtype=np.int32)
+    centroids = rng.integers(0, 256, (n_nodes, 32)).astype(np.uint8)
+    is_leaf = np.zeros(n_nodes, bool)
+    is_leaf[n_inner:] = True
+    node_level = np.zeros(n_nodes, np.int32)
+    for l in range(1, L + 1):
+        lo = sum(k ** i for i in range(l))
+        node_level[lo:lo + k ** l] = l
+    word_id = np.full(n_nodes, -1, np.int32)
+    word_id[n_inner:] = np.arange(n_nodes - n_inner, dtype=np.int32)
+    weights = np.ones(n_nodes - n_inner, np.float32)
+    return Vocabulary(k, L, children, centroids, is_leaf, word_id, weights,
+                      node_level)

@@ -41,3 +41,31 @@ def test_loop_detected_on_circular_trajectory():
     # inverted correction roughly doubles the drift instead) — 0.05 keeps
     # headroom for noise while still catching direction/propagation bugs
     assert ate < 0.05, f"ATE after loop closing {ate:.3f}"
+
+
+@pytest.mark.slow
+def test_loop_with_async_mapping_and_async_gba():
+    """Loop closure under the async mapping pipeline: the post-loop global
+    BA runs on the reference-style transient thread (catch-up correction)
+    while tracking continues; the trajectory still meets the ATE gate."""
+    seq = make_stereo_sequence(seed=3, n_frames=64, h=240, w=320,
+                               trajectory="circle", n_points=1200)
+    probe = make_system(seq)
+    descs = []
+    for i in (0, len(seq.lefts) // 3, 2 * len(seq.lefts) // 3):
+        r = probe.frontend.extract(seq.lefts[i])
+        v = np.asarray(r.valid)
+        descs.append(np.asarray(r.desc)[v])
+    vocab = Vocabulary.train(np.concatenate(descs), k=6, L=3, seed=0)
+
+    slam = make_system(seq, vocabulary=vocab, async_mapping=True)
+    assert slam.loop_closer.async_gba
+    for i in range(len(seq.lefts)):
+        slam.track_stereo(seq.lefts[i], seq.rights[i], seq.timestamps[i])
+    slam.shutdown()  # waits for the mapper AND any transient GBA thread
+    assert slam.loop_closer.n_loops_closed >= 1
+    assert slam.loop_closer._gba_thread is not None  # async GBA actually ran
+    est_ts, est_p = slam.camera_trajectory()
+    ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
+                   seq.timestamps, seq.poses_twc)
+    assert ate < 0.06, f"ATE with async GBA {ate:.3f}"

@@ -67,3 +67,61 @@ def test_full_extract_parity_pallas_vs_xla():
     for name in ("xs", "ys", "response", "angle", "octave", "desc"):
         a, b = np.asarray(getattr(rx, name)), np.asarray(getattr(rp, name))
         assert np.array_equal(a, b), name
+
+
+def test_segment_test_matches_lut_all_nmin_nmax():
+    """The generalized arithmetic segment test reproduces the quirky LUT
+    scan bit-exactly for every (n_min, n_max) pair, all 65536 masks."""
+    from jetson_slam_tpu.ops.pallas_frontend import _segment_test
+    all_masks = np.arange(1 << 16, dtype=np.uint32)
+    for n_min, n_max in ((9, 16), (9, 12), (7, 10), (5, 9), (12, 15),
+                         (9, 9), (1, 3)):
+        lut = fast_lut(n_min, n_max).astype(bool)
+        got = np.asarray(_segment_test(all_masks, n_min, n_max))
+        assert np.array_equal(got, lut), (n_min, n_max)
+
+
+def test_kernel_mask_and_nmax_parity():
+    """Masked rig + FAST_N_MAX < 16 keep the pallas path with exact parity
+    against the XLA fallback (reference mask semantics orb_gpu.cpp:64-91)."""
+    from jetson_slam_tpu.ops.tables import fast_lut as _lut
+    rng = np.random.default_rng(7)
+    H0, W0 = 120, 160
+    img = rng.integers(0, 256, (H0, W0), np.uint8)
+    mask = np.zeros((H0, W0), np.uint8)
+    mask[20:100, 30:130] = 255          # realsense-style central window
+    lut = jnp.asarray(_lut(9, 12).astype(np.int32))
+    roi = np.array([[BORDER_SKIP, H0 - BORDER_SKIP,
+                     BORDER_SKIP, W0 - BORDER_SKIP]], np.int32)
+    mbin = (mask > 10).astype(np.uint8)
+    raw_p, nms_p = fast_score_nms_pallas(
+        jnp.asarray(img[None]), jnp.asarray(roi), 20, 9, 12,
+        mask_u8=jnp.asarray(mbin[None]), interpret=True)
+    score = np.asarray(fast_score_map(jnp.asarray(img), lut, 20,
+                                      jnp.asarray(mbin.astype(np.int32))))
+    assert np.array_equal(np.asarray(raw_p)[0], score)
+    assert score[mask == 0].max(initial=0) == 0
+    assert score[mask > 0].max() > 0
+
+
+@pytest.mark.slow
+def test_full_extract_parity_masked_rig():
+    """End-to-end masked OrbFrontend: the pallas path (previously silently
+    disabled for masked configs) matches the XLA path exactly."""
+    from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+    seq = make_stereo_sequence(seed=5, n_frames=1, h=120, w=160, n_points=300)
+    img = seq.lefts[0]
+    mask = np.zeros((120, 160), np.uint8)
+    mask[10:110, 20:140] = 255
+    kw = dict(n_levels=3, scale_factor=1.2, threshold=20, tile_h=12,
+              tile_w=12, fast_n_max=12, mask=mask)
+    fe_x = OrbFrontend(120, 160, use_pallas=False, **kw)
+    fe_p = OrbFrontend(120, 160, use_pallas=True, **kw)
+    assert fe_p._use_pallas            # masked rig keeps the fast path now
+    rx = fe_x.extract(img)
+    rp = fe_p.extract(img)
+    assert np.array_equal(np.asarray(rx.valid), np.asarray(rp.valid))
+    assert int(np.asarray(rx.valid).sum()) > 10
+    for name in ("xs", "ys", "response", "angle", "octave", "desc"):
+        a, b = np.asarray(getattr(rx, name)), np.asarray(getattr(rp, name))
+        assert np.array_equal(a, b), name
