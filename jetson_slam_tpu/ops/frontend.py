@@ -67,9 +67,17 @@ def _band_matrix(n: int, kernel_1d: np.ndarray) -> np.ndarray:
 
 
 def bilinear_resize(img_f32: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray) -> jnp.ndarray:
-    """out = wy @ img @ wx^T on the MXU, then uint8 truncation."""
-    out = jnp.dot(wy, jnp.dot(img_f32, wx.T, preferred_element_type=jnp.float32),
-                  preferred_element_type=jnp.float32)
+    """out = wy @ img @ wx^T on the MXU, then uint8 truncation.
+
+    Precision HIGHEST: TPU matmuls default to one bf16 pass, whose rounding
+    of the bilinear weights flips the floor() on near-integer outputs —
+    levels 1+ would differ from the CPU pyramid by +-1 grey and every
+    downstream per-keypoint quantity with them.  The resize is ~1 GFLOP, so
+    exact f32 costs nothing measurable."""
+    with jax.default_matmul_precision("highest"):
+        out = jnp.dot(wy, jnp.dot(img_f32, wx.T,
+                                  preferred_element_type=jnp.float32),
+                      preferred_element_type=jnp.float32)
     return jnp.floor(out).astype(jnp.uint8)
 
 
@@ -516,13 +524,16 @@ class OrbFrontend:
         g = self.geom
         levels = [imgs_u8]
         f0 = imgs_u8.astype(jnp.float32)
-        for i in range(1, g.n_levels):
-            # same contraction order as bilinear_resize: (img @ wx.T) then wy @
-            t = jnp.einsum("bhw,xw->bhx", f0, T["wx"][i - 1],
-                           preferred_element_type=jnp.float32)
-            out = jnp.einsum("oh,bhx->box", T["wy"][i - 1], t,
-                             preferred_element_type=jnp.float32)
-            levels.append(jnp.floor(out).astype(jnp.uint8))
+        # exact f32 resize (see bilinear_resize): keeps the TPU pyramid
+        # bit-identical to the CPU one
+        with jax.default_matmul_precision("highest"):
+            for i in range(1, g.n_levels):
+                # same contraction order as bilinear_resize: (img @ wx.T), wy @
+                t = jnp.einsum("bhw,xw->bhx", f0, T["wx"][i - 1],
+                               preferred_element_type=jnp.float32)
+                out = jnp.einsum("oh,bhx->box", T["wy"][i - 1], t,
+                                 preferred_element_type=jnp.float32)
+                levels.append(jnp.floor(out).astype(jnp.uint8))
         return levels
 
     def _take_b(self, flat_b, idx_b):

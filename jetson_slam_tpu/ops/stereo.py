@@ -93,18 +93,38 @@ def _coarse_match(left, right, scales, inv_scales, level_widths, mbf, min_z):
     )
 
 
+_SHIFT_SEL = None
+
+
+def _shift_selector():
+    """Static (NBRHOOD, PATCH_W+NBRHOOD-1, PATCH_W) one-hot tensor S with
+    S[o, v+o, v] = 1: contracting the 21-wide strip against it yields all 11
+    disparity-shifted 11-wide windows in ONE einsum, instead of 11
+    lane-misaligned slices (each of which costs a layout shuffle on TPU)."""
+    global _SHIFT_SEL
+    if _SHIFT_SEL is None:
+        S = np.zeros((NBRHOOD, PATCH_W + NBRHOOD - 1, PATCH_W), np.float32)
+        for o in range(NBRHOOD):
+            for v in range(PATCH_W):
+                S[o, v + o, v] = 1.0
+        _SHIFT_SEL = S
+    return _SHIFT_SEL
+
+
 def _neighborhood_costs(lpatch, rstrip):
     """Center-subtracted L1 over the 11 disparity offsets.
-    lpatch: (..., 11, 11) f32; rstrip: (..., 11, 21) f32 -> (..., 11)."""
+    lpatch: (..., 11, 11) f32; rstrip: (..., 11, 21) f32 -> (..., 11).
+    Spec: orb_stereo_match.cu:990-1053 (the cuBLAS-GEMV-ones reduce is a
+    sum on TPU)."""
+    S = jnp.asarray(_shift_selector())
     lc = lpatch[..., PATCH_HALF, PATCH_HALF]
     ldiff = lpatch - lc[..., None, None]
-    cost_l = []
-    for o in range(NBRHOOD):
-        rp = rstrip[..., :, o:o + PATCH_W]
-        rc = rp[..., PATCH_HALF, PATCH_HALF]
-        cost_l.append(jnp.sum(jnp.abs(ldiff - (rp - rc[..., None, None])),
-                              axis=(-2, -1)))
-    return jnp.stack(cost_l, axis=-1)  # (..., 11)
+    # all shifted windows at once: (..., o, u, v)
+    rsh = jnp.einsum("...uw,owv->...ouv", rstrip, S,
+                     preferred_element_type=jnp.float32)
+    rc = rsh[..., PATCH_HALF, PATCH_HALF]                      # (..., o)
+    diff = ldiff[..., None, :, :] - (rsh - rc[..., None, None])
+    return jnp.sum(jnp.abs(diff), axis=(-2, -1))               # (..., 11)
 
 
 def _refine_and_prune(costs, c, mbf):
@@ -226,11 +246,6 @@ def stereo_match_bands(
     xl, xr, yy, lvl = c["xl"], c["xr"], c["yy"], left.octave
     KR = bands_right.shape[0]
 
-    # left 11x11 patch from the left slot's own band
-    oy_l = yy - band_y0 + (MARGIN - PATCH_HALF)
-    ox_l = xl - band_x0 + (MARGIN - PATCH_HALF)
-    lpatch = window_patches(bands_left, oy_l, ox_l, PATCH_W, PATCH_W)
-
     # right band at the LEFT octave containing (yy, xr): slot id is dynamic
     th = jnp.take(lvl_tile_h, lvl)
     tw = jnp.take(lvl_tile_w, lvl)
@@ -242,6 +257,14 @@ def stereo_match_bands(
            ).astype(jnp.bfloat16)
     rb = jnp.einsum("kr,rhw->khw", sel,
                     bands_right, preferred_element_type=jnp.bfloat16)
+
+    # left 11x11 patch from the left slot's own band; right 11x21 strip from
+    # the re-derived band (measured: extracting both through one concatenated
+    # window_patches call costs MORE than the second pair of one-hot matmuls
+    # — the (2K, bh, bw) concat copy dominates)
+    oy_l = yy - band_y0 + (MARGIN - PATCH_HALF)
+    ox_l = xl - band_x0 + (MARGIN - PATCH_HALF)
+    lpatch = window_patches(bands_left, oy_l, ox_l, PATCH_W, PATCH_W)
     oy_r = yy - tyr * th + (MARGIN - PATCH_HALF)
     ox_r = xr - txr * tw + (MARGIN - PATCH_HALF - NBR_HALF)
     rstrip = window_patches(rb, oy_r, ox_r, PATCH_W, PATCH_W + NBRHOOD - 1)

@@ -88,3 +88,24 @@ def test_static_camera_no_drift():
     est_p = np.asarray(est_p)
     drift = np.linalg.norm(est_p[:, :3, 3] - est_p[0, :3, 3], axis=1).max()
     assert drift < 0.01, drift
+
+
+@pytest.mark.slow
+def test_motion_jump_falls_back_to_reference_kf():
+    """A teleport between consecutive frames breaks the fused motion-model
+    step (its on-device 2x-window retry included); the tracker must fall
+    back to reference-keyframe tracking (Tracking.cpp:1104-1112 fallback
+    semantics) instead of going LOST."""
+    seq = make_stereo_sequence(seed=14, n_frames=30, h=240, w=320,
+                               n_points=900)
+    slam = make_system(seq)
+    order = list(range(10)) + [20] + list(range(21, 26))
+    states = []
+    for j, i in enumerate(order):
+        s, _ = slam.track_stereo(seq.lefts[i], seq.rights[i], j / 20.0)
+        states.append(s)
+    # the jump frame may drop, but tracking must re-establish immediately
+    # (via reference-KF matching / relocalization) and stay OK
+    assert states[-1] == TrackingState.OK, states
+    tail = states[-4:]
+    assert all(s == TrackingState.OK for s in tail), states
