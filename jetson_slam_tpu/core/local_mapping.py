@@ -129,6 +129,7 @@ class LocalMapper:
                 if self.run_ba and self.map.n_keyframes() > 2:
                     self.local_bundle_adjustment(kid)
                 self.cull_keyframes(kid)
+            self.map.version += 1
 
     def _register_new_points(self, kid):
         obs = self.map.kf_obs[kid]
@@ -374,8 +375,11 @@ class LocalMapper:
             return None
         in_pts = np.zeros(m.max_points, bool)
         in_pts[pids] = True
-        # fixed cameras: other KFs observing these points
-        sees = (in_pts[np.where(m.kf_obs >= 0, m.kf_obs, 0)] & (m.kf_obs >= 0)).any(1)
+        # fixed cameras: other KFs observing these points (allocated rows only)
+        Kact = m._next_kf
+        tab = m.kf_obs[:Kact]
+        sees = np.zeros(m.max_keyframes, bool)
+        sees[:Kact] = (in_pts[np.where(tab >= 0, tab, 0)] & (tab >= 0)).any(1)
         fixed_kfs = np.flatnonzero(sees & m.kf_alive & ~local_set)
         cams = np.concatenate([local, fixed_kfs])
         # KF 0 is always fixed even when local (Optimizer.cpp:527

@@ -420,6 +420,7 @@ class LoopCloser:
         # essential graph optimization over all alive keyframes
         self._optimize_essential_graph(kid, loop_kf, pre_poses,
                                        set(int(k) for k in group))
+        m.version += 1
         if self.run_gba:
             if self.async_gba:
                 # reference: transient GBA thread; mapping continues and
@@ -747,3 +748,4 @@ class LoopCloser:
                 m.kf_pose[k, :3, 3] = t2[i]
         keep = m.pt_alive[pids] & gen_ok[pids]
         m.pt_pos[pids[keep]] = p2[:P][keep]
+        m.version += 1

