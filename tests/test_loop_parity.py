@@ -232,3 +232,43 @@ def test_second_loop_reuses_first_loop_edge():
     edges = lc._essential_edges(m.keyframe_ids())
     loops = {(a, b) for a, b, kind in edges if kind == "loop"}
     assert (0, 4) in loops and (1, 5) in loops
+
+
+def test_mono_sim3_recovers_scale_drift():
+    """Monocular scale drift: the current region's geometry is scaled by
+    lambda relative to the loop region (identical image projections, so
+    appearance matches), and ComputeSim3 with fix_scale=False must recover
+    the corrective Sim3 scale s ~= 1/lambda (Sim3Solver.cpp mbFixScale
+    semantics; stereo/RGB-D pin s = 1)."""
+    lam = 1.3
+    rng = np.random.default_rng(8)
+    m = MapStore(max_points=1024, max_keyframes=16, n_slots=256)
+    n = 80
+    pts = rng.uniform([-2.0, -1.5, 4.0], [2.0, 1.5, 8.0], (n, 3)).astype(
+        np.float32)
+    descs = rng.integers(0, 256, (n, 32)).astype(np.uint8)
+
+    def add_points(P, ref):
+        out = []
+        for i in range(n):
+            pid = m.add_point(P[i], descs[i], ref)
+            d = float(np.linalg.norm(P[i]))
+            m.pt_max_dist[pid] = d
+            m.pt_min_dist[pid] = d / 1.2 ** 2
+            m.pt_normal[pid] = P[i] / max(d, 1e-9)
+            out.append(pid)
+        return out
+
+    eye = np.eye(4, dtype=np.float32)
+    xy = _project(pts, eye)          # scale-invariant: same pixels for both
+    pids_loop = add_points(pts, 0)
+    pids_cur = add_points((lam * pts).astype(np.float32), 1)
+    _add_kf(m, eye, xy, descs, pids_loop)    # loop keyframe (true scale)
+    _add_kf(m, eye, xy, descs, pids_cur)     # current keyframe (drifted)
+    lc = LoopCloser(m, database=None, cam=_cam(), geom=_geom(),
+                    sensor="mono", run_gba=False)
+    ok, loop_kf, s, R, t, matched = lc.compute_sim3(1, [0])
+    assert ok and loop_kf == 0
+    # current -> loop transform: p_loop = s R p_cur + t with p_cur = lam*p
+    assert s == pytest.approx(1.0 / lam, rel=0.05), s
+    assert len(matched) >= 40
