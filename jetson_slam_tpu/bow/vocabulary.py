@@ -192,33 +192,37 @@ class Vocabulary:
     # --------------------------------------------------------------- io
     def save_text(self, path):
         """DBoW2 text format (ORBvoc.txt compatible); .gz paths are
-        gzip-compressed transparently (bundled vocabularies ship small)."""
+        gzip-compressed transparently.  Row assembly is vectorized so a
+        1M-word vocabulary saves in seconds (the format is one node per
+        line: parent is_leaf d0..d31 weight)."""
+        order = np.asarray(self._dfs_order(), np.int64)
+        # parent references must use the id each node gets from its
+        # POSITION in the file (load_text numbers nodes by line order),
+        # not the in-memory numbering
+        newid = np.empty(len(order), np.int64)
+        newid[order] = np.arange(len(order))
+        nodes = order[1:]
+        par = self._parents_table()
+        rows = np.zeros((len(nodes), 35), np.float64)
+        rows[:, 0] = newid[par[nodes]]
+        rows[:, 1] = self.is_leaf[nodes]
+        rows[:, 2:34] = self.centroids[nodes]
+        wid = self.word_id[nodes]
+        rows[:, 34] = np.where(wid >= 0, self.weights[np.maximum(wid, 0)], 0.0)
         with _open_text(path, "wt") as f:
             f.write(f"{self.k} {self.L} 0 0\n")
-            order = self._dfs_order()
-            # parent references must use the id each node gets from its
-            # POSITION in the file (load_text numbers nodes by line order),
-            # not the in-memory numbering
-            newid = {node: i for i, node in enumerate(order)}
-            for node in order:
-                if node == 0:
-                    continue
-                parent = newid[self._parent_of(node)]
-                d = " ".join(str(int(b)) for b in self.centroids[node])
-                is_leaf = 1 if self.is_leaf[node] else 0
-                wid = self.word_id[node]
-                weight = self.weights[wid] if wid >= 0 else 0.0
-                f.write(f"{parent} {is_leaf} {d} {weight}\n")
+            np.savetxt(f, rows, fmt="%.10g")
 
-    def _parent_of(self, node):
+    def _parents_table(self):
         if not hasattr(self, "_parents"):
             par = np.full(len(self.centroids), -1, np.int64)
-            for n in range(len(self.children)):
-                for c in self.children[n]:
-                    if c >= 0:
-                        par[c] = n
+            rs, cs = np.nonzero(self.children >= 0)
+            par[self.children[rs, cs]] = rs
             self._parents = par
-        return int(self._parents[node])
+        return self._parents
+
+    def _parent_of(self, node):
+        return int(self._parents_table()[node])
 
     def _dfs_order(self):
         order, stack = [], [0]
@@ -231,46 +235,77 @@ class Vocabulary:
         return order
 
     @staticmethod
-    def load_text(path):
+    def load_text(path, cache=True):
         """Load DBoW2 text vocabulary (ORBVocabulary::loadFromTextFile).
-        .gz paths are decompressed transparently."""
+        .gz paths are decompressed transparently.
+
+        Sized for the real 1M-word / ~140 MB ORBvoc.txt the reference loads
+        at startup (System.cpp:72-79, ORBVocabulary.h:31-32): the body is
+        parsed in ONE `np.fromstring` pass (every line after the header is
+        exactly 35 whitespace-separated numbers) and the result is cached to
+        a `<path>.npz` sidecar, so the first load is seconds and subsequent
+        loads are a single np.load.  Pass cache=False to skip the sidecar.
+        """
+        import os
+        npz = str(path) + ".npz"
+        if cache and os.path.exists(npz) and \
+                os.path.getmtime(npz) >= os.path.getmtime(path):
+            with np.load(npz) as d:
+                return Vocabulary(int(d["k"]), int(d["L"]), d["children"],
+                                  d["centroids"], d["is_leaf"], d["word_id"],
+                                  d["weights"], d["node_level"])
         with _open_text(path, "rt") as f:
             header = f.readline().split()
             k, L = int(header[0]), int(header[1])
-            children_l = [[-1] * k]
-            cent_l = [np.zeros(32, np.uint8)]
-            leaf_l = [False]
-            parent_l = [-1]
-            weight_l = [0.0]
-            for line in f:
-                vals = line.split()
-                if len(vals) < 35:
-                    continue
-                parent = int(vals[0])
-                is_leaf = bool(int(vals[1]))
-                desc = np.array([int(x) for x in vals[2:34]], np.uint8)
-                weight = float(vals[34])
-                node = len(cent_l)
-                cent_l.append(desc)
-                leaf_l.append(is_leaf)
-                parent_l.append(parent)
-                weight_l.append(weight)
-                children_l.append([-1] * k)
-                for slot in range(k):
-                    if children_l[parent][slot] < 0:
-                        children_l[parent][slot] = node
-                        break
-        children = np.array(children_l, np.int32)
-        centroids = np.stack(cent_l)
-        is_leaf = np.array(leaf_l)
-        word_id = np.full(len(cent_l), -1, np.int32)
+            body = f.read()
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            vals = np.fromstring(body, dtype=np.float64, sep=" ")
+        del body
+        if vals.size % 35 != 0:  # tolerate ragged trailing junk
+            vals = vals[: (vals.size // 35) * 35]
+        rows = vals.reshape(-1, 35)
+        N = len(rows) + 1                              # + implicit root
+        parent = np.concatenate([[-1], rows[:, 0].astype(np.int64)])
+        is_leaf = np.concatenate([[False], rows[:, 1] != 0])
+        centroids = np.concatenate(
+            [np.zeros((1, 32), np.uint8), rows[:, 2:34].astype(np.uint8)])
+        node_weight = np.concatenate([[0.0], rows[:, 34]]).astype(np.float32)
+        # children table: node ids are line order, so each parent's children
+        # appear in encounter order -> slot = rank within parent
+        children = np.full((N, k), -1, np.int32)
+        nodes = np.arange(1, N, dtype=np.int64)
+        order = np.argsort(parent[1:], kind="stable")
+        p_sorted = parent[1:][order]
+        deg = np.bincount(p_sorted, minlength=N)
+        starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        rank = np.arange(N - 1) - starts[p_sorted]
+        ok = rank < k
+        children[p_sorted[ok], rank[ok]] = nodes[order][ok].astype(np.int32)
+        word_id = np.full(N, -1, np.int32)
         leaves = np.flatnonzero(is_leaf)
         word_id[leaves] = np.arange(len(leaves), dtype=np.int32)
-        weights = np.array(weight_l, np.float32)[leaves]
-        # node levels via parent chains
-        node_level = np.zeros(len(cent_l), np.int32)
-        for n in range(1, len(cent_l)):
-            node_level[n] = node_level[parent_l[n]] + 1
+        weights = node_weight[leaves]
+        # node levels: parents precede children in the format (ids are
+        # creation order), so L+1 masked passes settle every level
+        node_level = np.full(N, -1, np.int32)
+        node_level[0] = 0
+        for _ in range(L + 1):
+            todo = node_level < 0
+            ready = todo & (node_level[np.maximum(parent, 0)] >= 0)
+            node_level[ready] = node_level[parent[ready]] + 1
+            if not todo.any():
+                break
+        node_level[node_level < 0] = 0
+        if cache:
+            try:
+                np.savez(npz, k=k, L=L, children=children,
+                         centroids=centroids, is_leaf=is_leaf,
+                         word_id=word_id, weights=weights,
+                         node_level=node_level)
+            except OSError:
+                pass  # read-only install dir: cold parse each time
         return Vocabulary(k, L, children, centroids, is_leaf, word_id,
                           weights, node_level)
 

@@ -45,6 +45,9 @@ class LoopCloser:
             from ..parallel.dist_ba import DistBA
             self._dist_ba = DistBA(mesh)
         self.consistent_groups: list[tuple[set, int]] = []
+        # culled keyframes must leave the BoW database before their row can
+        # be recycled (KeyFrameDatabase::erase on SetBadFlag in the reference)
+        map_store.erase_hooks.append(self._on_kf_erased)
         # async GBA: set async_gba=True (and gba_lock to the map lock) to
         # run the post-loop full BA on a transient thread with catch-up
         # correction, like the reference's mpThreadGBA
@@ -73,6 +76,10 @@ class LoopCloser:
         self.n_loops_closed += 1
         return True
 
+    def _on_kf_erased(self, kid: int):
+        if self.db is not None and self.db.has[kid]:
+            self.db.erase(kid)
+
     def _kf_descs(self, kid):
         m = self.map
         sel = m.kf_kp_valid[kid]
@@ -83,8 +90,17 @@ class LoopCloser:
         """LoopClosing::DetectLoop (:108-234)."""
         m = self.map
         neigh, w = m.covisible_keyframes(kid, n=None)
+        # Under the async pipeline the tracker may have inserted a NEWER
+        # covisible keyframe that this worker has not processed yet, so it
+        # has no BoW vector in the database.  The reference never sees this
+        # state because BoW is computed before covisibility edges exist
+        # (LocalMapping::ProcessNewKeyFrame, LocalMapping.cpp:134-174:
+        # ComputeBoW precedes UpdateConnections); here covisibility derives
+        # live from kf_obs, so skip not-yet-added neighbors explicitly.
         min_score = 1.0
         for nk in neigh:
+            if not self.db.has[int(nk)]:
+                continue
             s = self.db.score(kid, int(nk))
             min_score = min(min_score, s)
         cand = self.db.detect_loop_candidates(kid, min_score, neigh, m)
@@ -366,21 +382,28 @@ class LoopCloser:
             R_new = R_kc @ R_cw_new
             t_new = R_kc @ t_cw_new + t_kc
             corrected[int(k)] = (R_new, t_new)
-        # correct the group's map points with their KF's old->new transform
-        moved = set()
+        # correct the group's map points with their KF's old->new transform;
+        # first observer in group order wins (the reference's mnCorrectedByKF
+        # stamp, LoopClosing.cpp:462-480).  One batched transform per group
+        # keyframe — at 50k points the per-point Python loop this replaces
+        # stalled the worker for seconds.
+        owner = np.full(m.max_points, -1, np.int64)
+        owned = []
         for k in group:
-            R_new, t_new = corrected[int(k)]
-            R_kw = m.kf_pose[k, :3, :3]
-            t_kw = m.kf_pose[k, :3, 3]
             obs = m.kf_obs[k]
             pids = obs[obs >= 0]
             pids = pids[m.pt_alive[pids]]
-            for pid in pids:
-                if int(pid) in moved:
-                    continue
-                moved.add(int(pid))
-                pc = R_kw @ m.pt_pos[pid] + t_kw
-                m.pt_pos[pid] = R_new.T @ (pc - t_new)
+            fresh = pids[owner[pids] < 0]
+            owner[fresh] = k
+            owned.append(fresh)
+        for k, pids in zip(group, owned):
+            if len(pids) == 0:
+                continue
+            R_new, t_new = corrected[int(k)]
+            R_kw = m.kf_pose[k, :3, :3]
+            t_kw = m.kf_pose[k, :3, 3]
+            pc = m.pt_pos[pids] @ R_kw.T + t_kw
+            m.pt_pos[pids] = (pc - t_new) @ R_new
         from ..utils.lie import project_so3_np
         for k in group:
             R_new, t_new = corrected[int(k)]
@@ -533,23 +556,27 @@ class LoopCloser:
         m = self.map
         old_R = m.kf_pose[kids, :3, :3].copy()
         old_t = m.kf_pose[kids, :3, 3].copy()
-        pos = {int(k): i for i, k in enumerate(kids)}
-        # move each point with its reference KF's old->new transform
-        for pid in np.flatnonzero(m.pt_alive):
-            ref = m.pt_ref_kf[pid]
-            if ref not in pos:
-                kfs, _ = m.observations_of(pid)
-                if len(kfs) == 0:
-                    continue
-                ref = int(kfs[0])
-                if ref not in pos:
-                    continue
-            i = pos[int(ref)]
-            pc = old_R[i] @ m.pt_pos[pid] + old_t[i]
-            # Sim3 inverse: p_w = (1/s) R^T (p_c - t); s == 1 for stereo
-            m.pt_pos[pid] = (R2[i].T @ (pc - t2[i])) / s2[i]
-        for k, i in pos.items():
-            from ..utils.lie import project_so3_np
+        pos_of = np.full(m.max_keyframes, -1, np.int64)
+        pos_of[kids] = np.arange(len(kids))
+        # move every point with its reference KF's old->new transform, one
+        # batched einsum (the per-point loop was O(points) host time per
+        # loop event); points whose ref fell outside the solve re-anchor to
+        # their first observer (rare — erase_keyframe re-anchors eagerly)
+        alive = np.flatnonzero(m.pt_alive)
+        ref = m.pt_ref_kf[alive].astype(np.int64)
+        idx = np.where(ref >= 0, pos_of[np.maximum(ref, 0)], -1)
+        for j in np.flatnonzero(idx < 0):
+            kfs, _ = m.observations_of(int(alive[j]))
+            if len(kfs):
+                idx[j] = pos_of[int(kfs[0])]
+        sel = idx >= 0
+        pids, i = alive[sel], idx[sel]
+        pc = np.einsum("nij,nj->ni", old_R[i], m.pt_pos[pids]) + old_t[i]
+        # Sim3 inverse: p_w = (1/s) R^T (p_c - t); s == 1 for stereo
+        m.pt_pos[pids] = np.einsum("nji,nj->ni", R2[i], pc - t2[i]) \
+            / s2[i][:, None]
+        from ..utils.lie import project_so3_np
+        for i, k in enumerate(kids):
             m.kf_pose[k, :3, :3] = project_so3_np(R2[i])
             m.kf_pose[k, :3, 3] = t2[i]
 
@@ -600,25 +627,19 @@ class LoopCloser:
         pids = np.flatnonzero(m.pt_alive)
         if len(kids) < 3 or len(pids) < 30:
             return None
-        pos_c = {int(k): i for i, k in enumerate(kids)}
-        pos_p = {int(p): i for i, p in enumerate(pids)}
-        e_cam, e_pt, e_kf, e_slot = [], [], [], []
-        for k in kids:
-            o = m.kf_obs[k]
-            for slot in np.flatnonzero(o >= 0):
-                pid = o[slot]
-                if m.pt_alive[pid]:
-                    e_cam.append(pos_c[int(k)])
-                    e_pt.append(pos_p[int(pid)])
-                    e_kf.append(int(k))
-                    e_slot.append(int(slot))
-        E = len(e_cam)
+        # vectorized edge-list build (one (K, S) pass, no Python loops)
+        pos_p_of = np.full(m.max_points, -1, np.int64)
+        pos_p_of[pids] = np.arange(len(pids))
+        rows = m.kf_obs[kids]                              # (K, S)
+        has = rows >= 0
+        has[has] = m.pt_alive[rows[has]]
+        kk, e_slot = np.nonzero(has)
+        E = len(kk)
         if E < 50:
             return
-        e_cam = np.array(e_cam, np.int32)
-        e_pt = np.array(e_pt, np.int32)
-        e_kf = np.array(e_kf)
-        e_slot = np.array(e_slot)
+        e_cam = kk.astype(np.int32)
+        e_pt = pos_p_of[rows[kk, e_slot]].astype(np.int32)
+        e_kf = kids[kk]
         kp_ur = m.kf_kp_ur[e_kf, e_slot]
         obs_arr = np.stack([
             m.kf_kp_xy[e_kf, e_slot, 0], m.kf_kp_xy[e_kf, e_slot, 1],
@@ -634,11 +655,13 @@ class LoopCloser:
         deg = np.bincount(e_pt, minlength=P)
         D = _bucket(int(deg.max()), 4)
         pt_edges = np.full((P_pad, D), -1, np.int32)
-        fill = np.zeros(P, np.int64)
-        for e in range(E):
-            p = e_pt[e]
-            pt_edges[p, fill[p]] = e
-            fill[p] += 1
+        # ranked scatter: edges sorted by point, each edge's rank within its
+        # point = position in the row (replaces the per-edge Python fill)
+        order = np.argsort(e_pt, kind="stable")
+        ep_sorted = e_pt[order]
+        starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        rank = np.arange(E) - starts[ep_sorted]
+        pt_edges[ep_sorted, rank] = order.astype(np.int32)
         fixed = np.ones(C_pad, bool)
         fixed[1:C_real] = False
         Rs = np.tile(np.eye(3, dtype=np.float32), (C_pad, 1, 1))

@@ -61,7 +61,20 @@ class MapStore:
         self.kf_parent = np.full(K, -1, np.int32)
         self.kf_first_connection = np.ones(K, bool)
         self.loop_edges: set = set()   # undirected (min_kid, max_kid) pairs
+        # keyframe row recycling: erase_keyframe frees the row; add_keyframe
+        # reuses freed rows before growing the high-water mark _next_kf, so a
+        # long sequence that allocates-then-culls never exhausts the table
+        # (the reference's KeyFrames simply live on the heap,
+        # KeyFrame.cpp:456-548).  kf_gen bumps on every (re)allocation —
+        # holders of a kid across an unlocked window compare generations,
+        # mirroring pt_gen.
+        self.kf_gen = np.zeros(K, np.int64)
+        self._kf_free: list = []
         self._next_kf = 0
+        # callbacks fired at the end of erase_keyframe(kid) — the keyframe
+        # database and other id-keyed side tables must drop their entry
+        # before the row can be recycled
+        self.erase_hooks: list = []
         # incremental observation index: pid -> {kf: slot}.  kf_obs stays the
         # source of truth for batched reads; the index makes per-point
         # lookups (observations_of / erase_point) O(#obs) instead of a full
@@ -228,10 +241,21 @@ class MapStore:
     # --------------------------------------------------------- keyframes
     def add_keyframe(self, frame):
         """Snapshot a Frame (core/frame.py) into the keyframe table."""
-        kid = self._next_kf
-        if kid >= self.max_keyframes:
-            raise RuntimeError("keyframe capacity exhausted")
-        self._next_kf += 1
+        if self._kf_free:
+            kid = self._kf_free.pop()
+            # scrub the recycled row (fresh rows are zero-initialized)
+            self.kf_kp_valid[kid] = False
+            self.kf_obs[kid] = -1
+            self.kf_kp_ur[kid] = -1.0
+            self.kf_kp_depth[kid] = -1.0
+            self.kf_parent[kid] = -1
+            self.kf_first_connection[kid] = True
+        else:
+            kid = self._next_kf
+            if kid >= self.max_keyframes:
+                raise RuntimeError("keyframe capacity exhausted")
+            self._next_kf += 1
+        self.kf_gen[kid] += 1
         self.kf_alive[kid] = True
         self.kf_pose[kid] = frame.Tcw
         self.kf_timestamp[kid] = frame.timestamp
@@ -315,6 +339,16 @@ class MapStore:
         for c in children:  # KeyFrame.cpp:535-539
             self.kf_parent[c] = parent
         self.kf_alive[kid] = False
+        # points whose reference keyframe dies re-anchor to their first
+        # remaining observer (MapPoint::UpdateNormalAndDepth picks a live
+        # observation lazily in the reference; with row recycling the lazy
+        # check would see the RECYCLED keyframe as alive, so re-anchor now)
+        for pid in np.flatnonzero((self.pt_ref_kf == kid) & self.pt_alive):
+            kfs, _ = self.observations_of(int(pid))
+            self.pt_ref_kf[pid] = int(kfs[0]) if len(kfs) else -1
+        for hook in self.erase_hooks:
+            hook(int(kid))
+        self._kf_free.append(int(kid))
 
     def keyframe_ids(self):
         return np.flatnonzero(self.kf_alive)

@@ -62,7 +62,7 @@ class Tracker:
         self.inv_level_sigma2 = (1.0 / self.scale_factors ** 2).astype(np.float32)
         self.min_x, self.max_x = 0.0, float(g.widths[0])
         self.min_y, self.max_y = 0.0, float(g.heights[0])
-        self.trajectory = []          # (timestamp, Tcw, ref_kf, is_lost)
+        self.trajectory = []  # (ts, Tcw, ref_kf, is_lost, Tcr, ref_kf_gen)
         self.matches_inliers = 0
         # localization-only: never create keyframes / mutate the map
         # (System::ActivateLocalizationMode semantics, working here unlike
@@ -79,6 +79,16 @@ class Tracker:
         self._spec_pid = None      # host copy of candidate pids
         self._spec_gen = None      # pt_gen snapshot paired with _spec
         self.fused_frames = 0      # frames tracked via the fused fast path
+        # keyframe rows are recycled (core/map.py): if the tracker's
+        # reference keyframe is culled, fall back to its spanning-tree
+        # parent BEFORE the row can be reused for a different keyframe
+        map_store.erase_hooks.append(self._on_kf_erased)
+
+    def _on_kf_erased(self, kid: int):
+        if kid == self.ref_kf:
+            parent = int(self.map.kf_parent[kid])
+            self.ref_kf = parent if parent >= 0 and \
+                self.map.kf_alive[parent] else -1
 
     # ================================================================ api
     def track_stereo(self, left, right, timestamp):
@@ -191,9 +201,12 @@ class Tracker:
             # / GBA corrections of keyframe poses propagate into the saved
             # trajectory (System.cpp:360-389 reconstructs Tcw = Tcr * Trw at
             # save time); keep the absolute pose as fallback for dead refs
+            ref_gen = int(self.map.kf_gen[ref]) if ref is not None and \
+                ref >= 0 else -1  # guards the chain against kf-row recycling
             self.trajectory.append(
                 (frame.timestamp, frame.Tcw.copy(), frame.ref_kf,
-                 self.state == TrackingState.LOST, self._last_rel_pose))
+                 self.state == TrackingState.LOST, self._last_rel_pose,
+                 ref_gen))
         self.last_frame = frame
         if self.fused and self.state == TrackingState.OK:
             self._speculate_candidates(frame)

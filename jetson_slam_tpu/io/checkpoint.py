@@ -21,7 +21,8 @@ _ARRAYS = (
     "pt_ref_kf",
     "kf_alive", "kf_pose", "kf_timestamp", "kf_frame_id", "kf_kp_xy",
     "kf_kp_octave", "kf_kp_angle", "kf_kp_ur", "kf_kp_depth", "kf_desc",
-    "kf_kp_valid", "kf_obs", "kf_parent", "kf_first_connection",
+    "kf_kp_valid", "kf_obs", "kf_parent", "kf_first_connection", "kf_gen",
+    "pt_gen",
 )
 
 

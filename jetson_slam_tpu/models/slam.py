@@ -215,12 +215,15 @@ class SlamSystem:
         reference's mlRelativeFramePoses chain."""
         out_ts, out_poses = [], []
         for entry in self.tracker.trajectory:
-            ts, Tcw, ref_kf, lost, rel = entry
+            ts, Tcw, ref_kf, lost, rel, ref_gen = entry
             if lost:
                 continue
             T = np.asarray(Tcw, np.float64)
+            # the generation stamp rejects a reference row that was culled
+            # and RECYCLED for a different keyframe since this frame passed
             if rel is not None and ref_kf is not None and ref_kf >= 0 and \
-                    self.map.kf_alive[ref_kf]:
+                    self.map.kf_alive[ref_kf] and \
+                    int(self.map.kf_gen[ref_kf]) == ref_gen:
                 T = np.asarray(rel, np.float64) @ \
                     np.asarray(self.map.kf_pose[ref_kf], np.float64)
             out_ts.append(ts)

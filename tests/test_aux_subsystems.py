@@ -177,3 +177,53 @@ def test_covisible_neighbors_batch_matches_per_kf():
     for i, k in enumerate(alive):
         single, _ = m.covisible_keyframes(int(k), n=5)
         assert np.array_equal(batch[i], single), (k, batch[i], single)
+
+
+def test_keyframe_rows_recycle():
+    """erase_keyframe frees the row; add_keyframe reuses it.  A lifetime
+    allocating >2x capacity must never exhaust the table, generations must
+    distinguish the occupants, and erase hooks must fire (the BoW database
+    drops its entry via one)."""
+    m = MapStore(max_points=256, max_keyframes=8, n_slots=16)
+    erased = []
+    m.erase_hooks.append(erased.append)
+
+    class F:
+        timestamp = 0.0
+        frame_id = 0
+        Tcw = np.eye(4, dtype=np.float32)
+        kp_xy = np.zeros((16, 2), np.float32)
+        octave = np.zeros(16, np.int32)
+        angle = np.zeros(16, np.float32)
+        u_right = np.full(16, -1.0, np.float32)
+        depth = np.full(16, -1.0, np.float32)
+        desc = np.zeros((16, 32), np.uint8)
+        valid = np.ones(16, bool)
+        map_points = np.full(16, -1, np.int32)
+
+    k0 = m.add_keyframe(F())          # protected id-0 anchor
+    live = [m.add_keyframe(F()) for _ in range(5)]
+    gens = {k: int(m.kf_gen[k]) for k in live}
+    total_allocs = 6
+    for _ in range(20):               # 20 churn rounds >> capacity 8
+        victim = live.pop(0)
+        # give the victim an observation so erase paths all run
+        pid = m.add_point(np.zeros(3, np.float32), np.zeros(32, np.uint8),
+                          ref_kf=victim)
+        m.add_observation(victim, 0, pid)
+        m.erase_keyframe(victim)
+        assert not m.kf_alive[victim]
+        assert erased[-1] == victim
+        # ref re-anchoring: the point's ref must no longer be the dead row
+        if m.pt_alive[pid]:
+            assert m.pt_ref_kf[pid] != victim
+        k = m.add_keyframe(F())
+        total_allocs += 1
+        assert m.kf_alive[k]
+        if k in gens:                 # recycled row -> new generation
+            assert int(m.kf_gen[k]) > gens[k]
+        gens[k] = int(m.kf_gen[k])
+        live.append(k)
+    assert total_allocs > 2 * m.max_keyframes
+    assert m._next_kf <= m.max_keyframes
+    assert m.n_keyframes() == 6       # anchor + 5 live

@@ -217,3 +217,35 @@ def _synthetic_vocabulary(rng, k=10, L=5):
     weights = np.ones(n_nodes - n_inner, np.float32)
     return Vocabulary(k, L, children, centroids, is_leaf, word_id, weights,
                       node_level)
+
+
+@pytest.mark.slow
+def test_1m_vocabulary_load_speed(tmp_path):
+    """A full-scale 1M-word vocabulary (the reference's ORBvoc.txt is k=10,
+    L=6, ~1M words, ~140 MB; System.cpp:72-79 loads it at startup) must
+    load in seconds cold and ~instantly from the .npz sidecar cache."""
+    import time
+
+    rng = np.random.default_rng(7)
+    voc = _synthetic_vocabulary(rng, k=10, L=6)
+    assert voc.n_words == 1_000_000
+    p = str(tmp_path / "orbvoc.txt")
+    t0 = time.time()
+    voc.save_text(p)
+    t_save = time.time() - t0
+    t0 = time.time()
+    v2 = Vocabulary.load_text(p)          # cold: one-pass parse + cache
+    t_cold = time.time() - t0
+    t0 = time.time()
+    v3 = Vocabulary.load_text(p)          # warm: .npz sidecar
+    t_warm = time.time() - t0
+    assert v2.n_words == 1_000_000 and v3.n_words == 1_000_000
+    assert t_cold < 60.0, f"cold load {t_cold:.1f}s"
+    assert t_warm < 5.0, f"cached load {t_warm:.1f}s"
+    assert t_warm < t_cold
+    # transform agreement between the two loads on a descriptor batch
+    d = rng.integers(0, 256, (256, 32)).astype(np.uint8)
+    w2, _, _ = v2.transform(d)
+    w3, _, _ = v3.transform(d)
+    assert np.array_equal(w2, w3)
+    print(f"save {t_save:.1f}s cold {t_cold:.1f}s warm {t_warm:.2f}s")

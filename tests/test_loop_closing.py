@@ -69,3 +69,43 @@ def test_loop_with_async_mapping_and_async_gba():
     ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
                    seq.timestamps, seq.poses_twc)
     assert ate < 0.06, f"ATE with async GBA {ate:.3f}"
+
+
+@pytest.mark.slow
+def test_async_pipeline_slow_worker_stress():
+    """Maximize the round-3 race window: the mapping worker is artificially
+    slowed so the tracker routinely inserts NEW covisible keyframes while the
+    worker is still mid-`process_keyframe` — exactly the state where
+    `detect_loop` used to call `db.score` on a keyframe with no BoW entry yet
+    (KeyError at bow/database.py).  The pipeline must survive and still close
+    the loop."""
+    import time
+
+    seq = make_stereo_sequence(seed=3, n_frames=64, h=240, w=320,
+                               trajectory="circle", n_points=1200)
+    probe = make_system(seq)
+    descs = []
+    for i in (0, len(seq.lefts) // 3, 2 * len(seq.lefts) // 3):
+        r = probe.frontend.extract(seq.lefts[i])
+        v = np.asarray(r.valid)
+        descs.append(np.asarray(r.desc)[v])
+    vocab = Vocabulary.train(np.concatenate(descs), k=6, L=3, seed=0)
+
+    slam = make_system(seq, vocabulary=vocab, async_mapping=True)
+    # slow every worker stage: each keyframe spends >=60 ms in processing
+    # while the tracker (not slowed) keeps inserting
+    orig = slam.local_mapper.create_new_map_points
+
+    def slow_create(kid):
+        time.sleep(0.06)
+        return orig(kid)
+
+    slam.local_mapper.create_new_map_points = slow_create
+    for i in range(len(seq.lefts)):
+        slam.track_stereo(seq.lefts[i], seq.rights[i], seq.timestamps[i])
+    slam.shutdown()
+    assert slam.loop_closer.n_loops_closed >= 1
+    est_ts, est_p = slam.camera_trajectory()
+    ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
+                   seq.timestamps, seq.poses_twc)
+    assert ate < 0.08, f"ATE under slow-worker stress {ate:.3f}"
