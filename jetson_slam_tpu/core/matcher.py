@@ -53,6 +53,7 @@ def _search_by_projection_last_impl(
     cur_xy, cur_octave, cur_angle, cur_desc, cur_valid, cur_ur,
     th, scale_factors, n_levels: int,
     fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y, forward, backward,
+    orb_dist=None,
 ):
     """Motion-model projection search (spec: ORBmatcher.cpp:1315-1966).
 
@@ -97,7 +98,9 @@ def _search_by_projection_last_impl(
     dist = jnp.where(cand, hamming_matrix(last_desc, cur_desc), BIG)
     best_cur = jnp.argmin(dist, axis=1)
     best_dist = jnp.take_along_axis(dist, best_cur[:, None], axis=1)[:, 0]
-    matched = best_dist <= TH_HIGH
+    # orb_dist: relocalization's narrow retry uses ORBdist=64 instead of
+    # TH_HIGH (Tracking.cpp:2090: SearchByProjection(..., 3, 64))
+    matched = best_dist <= (TH_HIGH if orb_dist is None else orb_dist)
 
     rot = last_angle - jnp.take(cur_angle, best_cur)
     matched = rotation_consistency(rot, matched)

@@ -871,6 +871,14 @@ class Tracker:
         if not kfs:
             return False
         C = self.RELOC_MAX_CANDIDATES
+        if len(kfs) > C:
+            # the reference tries every candidate (Tracking.cpp:1973-2115);
+            # the one-dispatch batch is capped to keep ONE compiled shape —
+            # surface the truncation instead of silently dropping
+            import logging
+            logging.getLogger("jetson_slam_tpu").info(
+                "relocalization: %d candidates truncated to %d",
+                len(kfs), C)
         kfs = kfs[:C]
         n_real = len(kfs)
         pad_kfs = kfs + [kfs[0]] * (C - n_real)
@@ -978,11 +986,30 @@ def _batched_reloc(f_desc, f_valid, f_angle, f_xy, f_ur, f_octave, f_inv_s2,
                 R2, t2, pw2, f_xy, f_ur, f_inv_s2, has2,
                 fx, fy, cx, cy, bf)
         aug = n2 >= 10
-        n_final = jnp.where(aug, n3, n2)
-        R_out = jnp.where(aug, R3, R2)
-        t_out = jnp.where(aug, t3, t2)
-        inl_out = jnp.where(aug, inlier3, inlier)
-        m_out = jnp.where(aug, match2, match)
+        # second NARROW retry: when the augmented optimization lands
+        # 30 <= n < 50, re-search the remaining points in a th=3 window with
+        # the tighter ORBdist=64 gate and re-optimize (Tracking.cpp:2083-2101)
+        already2 = jnp.zeros(chas.shape[0], bool).at[
+            jnp.where(has2, match2, 0)].set(has2)
+        proj2, _ = matcher._search_by_projection_last_impl(
+            R3, t3, cpw, chas & ~already2, coct, cangle, cdesc, cur_ >= 0,
+            f_xy, f_octave, f_angle, f_desc, f_valid, f_ur,
+            3.0, scale_factors, n_levels,
+            fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y,
+            false_, false_, orb_dist=64)
+        match3 = jnp.where(match2 >= 0, match2, proj2)
+        has3 = match3 >= 0
+        pw3 = jnp.take(cpw, jnp.where(has3, match3, 0), axis=0)
+        with jax.default_matmul_precision("highest"):
+            R4, t4, inlier4, n4 = _pose_optimization(
+                R3, t3, pw3, f_xy, f_ur, f_inv_s2, has3,
+                fx, fy, cx, cy, bf)
+        retry = aug & (n3 >= 30) & (n3 < 50)
+        n_final = jnp.where(retry, n4, jnp.where(aug, n3, n2))
+        R_out = jnp.where(retry, R4, jnp.where(aug, R3, R2))
+        t_out = jnp.where(retry, t4, jnp.where(aug, t3, t2))
+        inl_out = jnp.where(retry, inlier4, jnp.where(aug, inlier3, inlier))
+        m_out = jnp.where(retry, match3, jnp.where(aug, match2, match))
         return n_match, n_final, R_out, t_out, inl_out, m_out
 
     keys = jax.random.split(key, C)

@@ -340,7 +340,8 @@ class OrbFrontend:
                  fast_n_min=9, fast_n_max=16, threshold=20,
                  tile_h=30, tile_w=30, fixed_multi_scale_tile_size=False,
                  apply_nms_ms=False, mask=None, quantize_level0_coords=False,
-                 subpixel=True, use_pallas="auto", use_pallas_desc="auto"):
+                 subpixel=True, use_pallas="auto", use_pallas_desc="auto",
+                 use_pallas_stereo="auto"):
         # quantize_level0_coords=True reproduces the reference's int cast in
         # copy_output (orb_copy_output.cu:35: keypoints_x_op is int*), which
         # quantizes level-L keypoints by scale^L pixels at level 0.  Off by
@@ -374,6 +375,14 @@ class OrbFrontend:
             self._use_pallas_desc = jax.default_backend() == "tpu"
         else:
             self._use_pallas_desc = bool(use_pallas_desc)
+        # Pallas stereo window-correlation kernel (ops/pallas_stereo.py):
+        # costs are bit-identical to the XLA band path (integer arithmetic)
+        if use_pallas_stereo == "auto":
+            self._use_pallas_stereo = jax.default_backend() == "tpu"
+        else:
+            self._use_pallas_stereo = bool(use_pallas_stereo)
+        self._max_tiles_w = int(max(g.n_tiles_w))
+        self._bands_matmul = jax.default_backend() == "tpu"
         self._pallas_interpret = jax.default_backend() != "tpu"
         self.lut = jnp.asarray(tables.fast_lut(fast_n_min, fast_n_max).astype(np.int32))
         self.gauss = jnp.asarray(tables.gaussian_weights())
@@ -509,6 +518,19 @@ class OrbFrontend:
               BORDER_SKIP, g.widths[i] - BORDER_SKIP]
              for i in range(g.n_levels)], np.int32)
         self._tables["roi_l"] = jnp.asarray(roi_l)
+        # constant one-hot band-extraction selectors (TPU matmul path)
+        from .bands import band_col_selector, band_row_selector
+        bhh2, bww2 = self.band_hw
+        self._tables["band_rsel"] = tuple(
+            jnp.asarray(band_row_selector(
+                g.heights[i], g.n_tiles_h[i], g.tile_h[i], bhh2
+            ).astype(np.float32), dtype=jnp.bfloat16)
+            for i in range(g.n_levels))
+        self._tables["band_csel"] = tuple(
+            jnp.asarray(band_col_selector(
+                g.widths[i], g.n_tiles_w[i], g.tile_w[i], bww2
+            ).astype(np.float32), dtype=jnp.bfloat16)
+            for i in range(g.n_levels))
 
     # ------------------------------------------------------------------
     def compute_pyramid(self, img_u8):
@@ -542,15 +564,26 @@ class OrbFrontend:
 
     def _extract_bands(self, levels):
         """Per-level tile-anchored bands, concatenated in slot order and
-        padded to (B, n_slots_padded, BH, BW).  levels: list of (B, Hi, Wi)."""
-        from .bands import extract_tile_bands
+        padded to (B, n_slots_padded, BH, BW).  levels: list of (B, Hi, Wi).
+
+        On TPU the extraction rides two constant one-hot matmuls per level
+        (ops/bands.extract_tile_bands_matmul, bit-equal, measured ~1.7x
+        faster than the shifted-slice stack whose copies are
+        lane-misaligned); elsewhere the portable slice-stack path runs."""
+        from .bands import extract_tile_bands, extract_tile_bands_matmul
         g = self.geom
         bh, bw = self.band_hw
         parts = []
         for i in range(g.n_levels):
-            parts.append(extract_tile_bands(
-                levels[i], g.tile_h[i], g.tile_w[i],
-                g.n_tiles_h[i], g.n_tiles_w[i], bh, bw))
+            if self._bands_matmul:
+                parts.append(extract_tile_bands_matmul(
+                    levels[i], self._tables["band_rsel"][i],
+                    self._tables["band_csel"][i],
+                    g.n_tiles_h[i], g.n_tiles_w[i], bh, bw))
+            else:
+                parts.append(extract_tile_bands(
+                    levels[i], g.tile_h[i], g.tile_w[i],
+                    g.n_tiles_h[i], g.n_tiles_w[i], bh, bw))
         bands = jnp.concatenate(parts, axis=1)
         pad = self.n_slots_padded - self.n_slots
         if pad:
@@ -767,17 +800,36 @@ class OrbFrontend:
             T["lvl_tile_h"], T["lvl_tile_w"], T["lvl_ntw"], T["lvl_off"],
             T["widths"], T["scales"], T["inv_scales"], mbf, min_z)
 
+    def _stereo_batch(self, T, L, R, bands_l, bands_r, mbf, min_z):
+        """Batched stereo dispatch: Pallas window-correlation kernel on TPU
+        (ops/pallas_stereo.py), vmapped XLA band path otherwise."""
+        if self._use_pallas_stereo:
+            from .stereo import stereo_match_bands_batch_pallas
+            return stereo_match_bands_batch_pallas(
+                L, R, bands_l, bands_r, T["band_y0"], T["band_x0"],
+                T["lvl_tile_h"], T["lvl_tile_w"], T["lvl_ntw"], T["lvl_off"],
+                T["widths"], T["scales"], T["inv_scales"], mbf, min_z,
+                self._max_tiles_w, int(max(self.geom.tile_h)),
+                int(max(self.geom.tile_w)),
+                interpret=self._pallas_interpret)
+
+        def one(l, r, bl, br):
+            return self._stereo_bands(T, l, r, bl, br, mbf, min_z)
+
+        return jax.vmap(one)(L, R, bands_l, bands_r)
+
     def _frame_step_impl(self, T, left_u8, right_u8, mbf, min_z):
         """ONE jitted program for the whole stereo frame: ORB on both eyes
         (batched) + dense stereo matching (Frame.cpp:107-110's two extraction
         threads + Frame::ComputeStereoMatches collapse into one dispatch)."""
         res, _raw, bands = self._extract_batch_core(
             T, jnp.stack([left_u8, right_u8]))
-        take0 = jax.tree_util.tree_map(lambda a: a[0], res)
-        take1 = jax.tree_util.tree_map(lambda a: a[1], res)
-        u_r, depth, best_dist = self._stereo_bands(
-            T, take0, take1, bands[0], bands[1], mbf, min_z)
-        return take0, take1, u_r, depth, best_dist
+        take0 = jax.tree_util.tree_map(lambda a: a[0:1], res)
+        take1 = jax.tree_util.tree_map(lambda a: a[1:2], res)
+        u_r, depth, best_dist = self._stereo_batch(
+            T, take0, take1, bands[0:1], bands[1:2], mbf, min_z)
+        sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+        return sq(take0), sq(take1), u_r[0], depth[0], best_dist[0]
 
     def _frame_steps_impl(self, T, lefts_u8, rights_u8, mbf, min_z):
         """Batched stereo frames: (B, H, W) each eye -> per-frame results.
@@ -785,18 +837,15 @@ class OrbFrontend:
         All 2B eyes ride ONE extraction program (the batch axis is the
         natural data-parallel mesh axis: shard lefts/rights with a
         NamedSharding over 'data' and XLA partitions the whole pipeline —
-        per-frame work is independent); stereo matching is vmapped over the
-        frame axis."""
+        per-frame work is independent); stereo matching runs batched (Pallas
+        kernel on TPU, vmapped XLA path elsewhere)."""
         B = lefts_u8.shape[0]
         res, _raw, bands = self._extract_batch_core(
             T, jnp.concatenate([lefts_u8, rights_u8], axis=0))
         L = jax.tree_util.tree_map(lambda a: a[:B], res)
         R = jax.tree_util.tree_map(lambda a: a[B:], res)
-
-        def one(l, r, bl, br):
-            return self._stereo_bands(T, l, r, bl, br, mbf, min_z)
-
-        u_r, depth, dist = jax.vmap(one)(L, R, bands[:B], bands[B:])
+        u_r, depth, dist = self._stereo_batch(
+            T, L, R, bands[:B], bands[B:], mbf, min_z)
         return L, R, u_r, depth, dist
 
     def extract(self, img_u8) -> FrontendResult:

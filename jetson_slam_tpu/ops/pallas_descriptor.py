@@ -3,20 +3,21 @@ VMEM-resident keypoint bands.
 
 TPU-native re-design of orb_gaussian.cu + orb_FAST_orientation.cu +
 orb_descriptor.cu as ONE kernel over the tile-anchored bands (ops/bands.py).
-The XLA band path materializes the one-hot window/sample selectors and the
-blurred pyramid stack in HBM (~GBs per batch at 32 eyes); here every
-intermediate — the 7x7 blur, the 31x31 intensity-centroid patch, the
-(512, band) one-hot sample selectors and the selected strips — lives in
-VMEM, so HBM traffic collapses to one uint8 band read plus the 32-byte
-descriptor + two-moment write per slot.
+The XLA band path materializes the one-hot sample selectors and the selected
+strips in HBM (measured: pred[B,Kp,512,bh] compare fusions plus an
+f32[B,Kp,512,bw] t_sel intermediate -> ~0.5 GB of temps and ~14 ms/32-eye
+batch); here every intermediate — the 7x7 blur, the 31x31 intensity-centroid
+patch, the (512, band) one-hot sample selectors and the selected strips —
+lives in VMEM, so HBM traffic collapses to one uint8 band read plus the
+32-byte descriptor + two-moment write per slot.
 
 Per slot (all batched over a block of SB slots, matmuls on the MXU via
 batched `dot_general`):
-1. separable 7-tap blur of the band in f32, floored to integers and
-   border-preserved against the true level border (orb_gaussian.cu:21-110);
-   the band margin (ops/bands.MARGIN = 22 = rBRIEF reach 19 + blur radius 3)
-   guarantees real image pixels under every sampled position, and circular
-   column/row rolls only corrupt band edges outside the sampled range.
+1. separable 7-tap blur via two symmetric band-matrix matmuls on the MXU in
+   f32 (orb_gaussian.cu:21-110), floored to integers and border-preserved
+   against the true level border; the band margin (ops/bands.MARGIN = 22 =
+   rBRIEF reach 19 + blur radius 3) guarantees real image pixels under every
+   sampled position.
 2. intensity-centroid moments from the RAW band via two one-hot matmuls
    (orb_FAST_orientation.cu:17-62); cos/sin come from m10/m01 directly
    (rsqrt), the float angle itself is recovered by the caller with a true
@@ -26,6 +27,10 @@ batched `dot_general`):
    host-REORDERED pattern halves (first 256 = even pair members), and pack
    bits to bytes with one (SB, 256) @ (256, 32) power-of-two matmul
    (orb_descriptor.cu:12-68).
+
+All selected sample values are integers 0..255 (exactly representable in
+bf16, accumulated in f32 through one-hot dots), so the sampling itself is
+exact; only the f32 blur accumulation order differs from other backends.
 """
 from __future__ import annotations
 
@@ -40,11 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from . import tables
 from .bands import MARGIN
 
-SB = 16          # slots per program
+SB = 32          # slots per program
 IC_HALF = tables.HALF_PATCH_SIZE          # 15
 ICP = 2 * IC_HALF + 1                     # 31
 ICP_PAD = 32
 DESC_HALF = 19                            # max |rint(rotated offset)|
+_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _consts():
@@ -69,8 +75,17 @@ def _consts():
 _PX, _PY, _WUV, _G7, _PACK = _consts()
 
 
+def _gauss_band(n: int) -> np.ndarray:
+    """Symmetric (n, n) band matrix B with B[i, j] = g7[j - i + 3]."""
+    B = np.zeros((n, n), np.float32)
+    for d in range(-3, 4):
+        idx = np.arange(max(0, -d), min(n, n - d))
+        B[idx, idx + d] = _G7[d + 3]
+    return B
+
+
 def _descriptor_kernel(meta_ref, raw_ref, wuv_ref, pxy_ref, pack_ref,
-                       desc_ref, mom_ref, *, bh, bw):
+                       gy_ref, gx_ref, desc_ref, mom_ref, *, bh, bw):
     raw_u8 = raw_ref[...]
     raw = raw_u8.astype(jnp.int32).astype(jnp.float32)    # (SB, bh, bw)
     meta = meta_ref[...]                                  # (SB, 8) int32
@@ -81,19 +96,16 @@ def _descriptor_kernel(meta_ref, raw_ref, wuv_ref, pxy_ref, pack_ref,
     hl = meta[:, 4:5]
     wl = meta[:, 5:6]
 
-    # ---- separable 7-tap blur (f32), circular rolls: corrupted edge rows/
-    # cols lie outside every sampled position (see module docstring)
-    def roll(x, sh, axis):
-        if sh % x.shape[axis] == 0:  # Mosaic rejects zero-size roll slices
-            return x
-        return pltpu.roll(x, sh % x.shape[axis], axis)
-
-    colp = jnp.zeros_like(raw)
-    for d in range(7):
-        colp = colp + _G7[d] * roll(raw, 3 - d, 2)
-    blur = jnp.zeros_like(raw)
-    for d in range(7):
-        blur = blur + _G7[d] * roll(colp, 3 - d, 1)
+    # ---- separable 7-tap blur: two band-matrix matmuls on the MXU in f32
+    # (each output row/col is the 7-tap weighted sum; border columns of the
+    # band matrices under-weight edge pixels, but those lie outside every
+    # sampled position — the margin covers the blur support)
+    rowsum = jax.lax.dot_general(                         # (SB, bw, bh)
+        raw, gy_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())), precision=_HIGH)
+    blur = jax.lax.dot_general(                           # (SB, bh, bw)
+        rowsum, gx_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())), precision=_HIGH)
     # border-preserve: pixels within 3 of the true level border keep raw
     ir = jax.lax.broadcasted_iota(jnp.int32, (SB, bh, bw), 1) \
         + (y0 - MARGIN)[:, :, None]                       # image row
@@ -144,12 +156,23 @@ def _descriptor_kernel(meta_ref, raw_ref, wuv_ref, pxy_ref, pack_ref,
     iota_bh = jax.lax.broadcasted_iota(jnp.int32, (SB, bh, 512), 1)
     prowT = (iota_bh == band_r[:, None, :]).astype(jnp.bfloat16)
     iota_bw = jax.lax.broadcasted_iota(jnp.int32, (SB, bw, 512), 1)
-    pcolT = (iota_bw == band_c[:, None, :]).astype(jnp.float32)
+    # the whole selection chain stays bf16: blurred values are integers
+    # 0..255 (exact in bf16) and pcolT is one-hot, so the w-reduction has
+    # exactly one nonzero term — bf16 halves the VMEM traffic of the two
+    # (SB, bw, 512) intermediates at zero precision cost
+    pcolT = (iota_bw == band_c[:, None, :]).astype(jnp.bfloat16)
     tsel = jax.lax.dot_general(                           # (SB, bw, 512)
         blur.astype(jnp.bfloat16), prowT,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    samples = jnp.sum(tsel * pcolT, axis=1)               # (SB, 512)
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    # w-reduction as a ones-vector MXU dot: the VPU tree-reduce over 64
+    # sublanes of a (SB, bw, 512) tensor costs ~6 full-tensor passes
+    masked = tsel * pcolT                                 # one nonzero per w
+    ones_w = jnp.ones((SB, 1, bw), jnp.bfloat16)
+    samples = jax.lax.dot_general(                        # (SB, 1, 512)
+        ones_w, masked,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]
     bits = (samples[:, :256] < samples[:, 256:]).astype(jnp.bfloat16)
     desc = jnp.dot(bits, pack_ref[...],
                    preferred_element_type=jnp.float32)    # (SB, 32)
@@ -184,6 +207,8 @@ def orb_descriptors_pallas(bands_raw_u8, meta, interpret: bool = False):
             pl.BlockSpec((2, ICP_PAD, ICP_PAD), lambda i: (0, 0, 0)),
             pl.BlockSpec((2, 512), lambda i: (0, 0)),
             pl.BlockSpec((256, 32), lambda i: (0, 0)),
+            pl.BlockSpec((bh, bh), lambda i: (0, 0)),
+            pl.BlockSpec((bw, bw), lambda i: (0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((SB, 32), lambda i: (i, 0)),
@@ -195,5 +220,6 @@ def orb_descriptors_pallas(bands_raw_u8, meta, interpret: bool = False):
         ),
         interpret=interpret,
     )(meta, bands_raw_u8, jnp.asarray(_WUV), pxy,
-      jnp.asarray(_PACK, jnp.bfloat16))
+      jnp.asarray(_PACK, jnp.bfloat16), jnp.asarray(_gauss_band(bh)),
+      jnp.asarray(_gauss_band(bw)))
     return desc, mom

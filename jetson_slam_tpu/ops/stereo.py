@@ -274,6 +274,53 @@ def stereo_match_bands(
     return u_right, depth, c["best_dist"]
 
 
+def stereo_match_bands_batch_pallas(
+    L, R, bands_left_u8, bands_right_u8,
+    band_y0, band_x0,
+    lvl_tile_h, lvl_tile_w, lvl_ntw, lvl_off,
+    level_widths, scales, inv_scales,
+    mbf, min_z, max_tiles_w: int, max_tile_h: int, max_tile_w: int,
+    interpret: bool = False,
+):
+    """Batched stereo matching with the Pallas window-correlation kernel.
+
+    L/R: FrontendResult pytrees with leading (B,) frame axis; bands_*:
+    (B, K, bh, bw) uint8 raw tile-anchored bands.  Coarse gating and the
+    subpixel refine/prune run in XLA (vmapped over frames); the window
+    sampling + 11 shifted L1 costs run in ops/pallas_stereo.py — one DMA'd
+    right-band window per slot block, every intermediate in VMEM.  Costs are
+    bit-identical to stereo_match_bands (integer arithmetic in f32).
+    """
+    from .pallas_stereo import stereo_costs_pallas
+
+    def coarse(l, r):
+        return _coarse_match(l, r, scales, inv_scales, level_widths, mbf,
+                             min_z)
+
+    c = jax.vmap(coarse)(L, R)
+    xl, xr, yy, lvl = c["xl"], c["xr"], c["yy"], L.octave
+    K = bands_left_u8.shape[1]
+    th = jnp.take(lvl_tile_h, lvl)
+    tw = jnp.take(lvl_tile_w, lvl)
+    tyr = yy // th
+    txr = xr // tw
+    slot_r = jnp.take(lvl_off, lvl) + tyr * jnp.take(lvl_ntw, lvl) + txr
+    slot_r = jnp.clip(slot_r, 0, K - 1)  # safety; gated by `matched` anyway
+    oy_l = yy - band_y0[None] + (MARGIN - PATCH_HALF)
+    ox_l = xl - band_x0[None] + (MARGIN - PATCH_HALF)
+    oy_r = yy - tyr * th + (MARGIN - PATCH_HALF)
+    ox_r = xr - txr * tw + (MARGIN - PATCH_HALF - NBR_HALF)
+    zero = jnp.zeros_like(slot_r)
+    meta = jnp.stack([oy_l, ox_l, slot_r, oy_r, ox_r, zero, zero, zero],
+                     axis=-1).astype(jnp.int32)
+    costs = stereo_costs_pallas(bands_left_u8, bands_right_u8, meta,
+                                max_tiles_w, max_tile_h, max_tile_w,
+                                interpret=interpret)
+    u_right, depth = jax.vmap(lambda co, cc: _refine_and_prune(co, cc, mbf))(
+        costs, c)
+    return u_right, depth, c["best_dist"]
+
+
 def stereo_rel_offsets(w0: int):
     """Static flat offsets for the 11x11 left patch and 11x21 right strip."""
     dy, dx = np.mgrid[-PATCH_HALF:PATCH_HALF + 1, -PATCH_HALF:PATCH_HALF + 1]
