@@ -42,9 +42,11 @@ def build_and_run():
     on_tpu = jax.default_backend() != "cpu"
     seq = make_stereo_sequence(seed=42, n_frames=2, h=240, w=320,
                                n_points=800)
+    # DEFAULT per-platform configuration — the parity artifact reflects
+    # what actually ships: on TPU that is the Pallas descriptor kernel
+    # (f32-HIGHEST blur) + Pallas stereo correlation; on CPU the XLA paths
     fe = OrbFrontend(240, 320, n_levels=4, scale_factor=1.2, threshold=20,
-                     tile_h=16, tile_w=16,
-                     use_pallas=True, use_pallas_desc=False)
+                     tile_h=16, tile_w=16, use_pallas=True)
     out = {}
 
     # 1. Pallas FAST+NMS kernel (compiled on TPU, interpreted on CPU)
