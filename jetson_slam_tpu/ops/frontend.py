@@ -531,6 +531,13 @@ class OrbFrontend:
                 g.widths[i], g.n_tiles_w[i], g.tile_w[i], bww2
             ).astype(np.float32), dtype=jnp.bfloat16)
             for i in range(g.n_levels))
+        # 128-lane variant: right-eye stereo bands come out pre-padded for
+        # the Pallas kernel's aligned manual DMA
+        self._tables["band_csel128"] = tuple(
+            jnp.asarray(band_col_selector(
+                g.widths[i], g.n_tiles_w[i], g.tile_w[i], 128
+            ).astype(np.float32), dtype=jnp.bfloat16)
+            for i in range(g.n_levels))
 
     # ------------------------------------------------------------------
     def compute_pyramid(self, img_u8):
@@ -800,18 +807,49 @@ class OrbFrontend:
             T["lvl_tile_h"], T["lvl_tile_w"], T["lvl_ntw"], T["lvl_off"],
             T["widths"], T["scales"], T["inv_scales"], mbf, min_z)
 
-    def _stereo_batch(self, T, L, R, bands_l, bands_r, mbf, min_z):
+    def _extract_bands_r128(self, T, rights_u8):
+        """Right-eye tile bands padded to 128 lanes, for the Pallas stereo
+        kernel's aligned manual DMA (ops/pallas_stereo.py).  Built with the
+        constant one-hot matmuls straight from the right images — avoids
+        both the (2B,...)->halves split copy and a separate pad op."""
+        from .bands import extract_tile_bands_matmul
+        g = self.geom
+        bh, _bw = self.band_hw
+        pyr_r = self._pyramid_batch(T, rights_u8)
+        parts = []
+        for i in range(g.n_levels):
+            parts.append(extract_tile_bands_matmul(
+                pyr_r[i], T["band_rsel"][i], T["band_csel128"][i],
+                g.n_tiles_h[i], g.n_tiles_w[i], bh, 128))
+        bands = jnp.concatenate(parts, axis=1)
+        pad = self.n_slots_padded - self.n_slots
+        if pad:
+            bands = jnp.pad(bands, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return bands
+
+    def _stereo_batch(self, T, L, R, bands_l, bands_r, mbf, min_z,
+                      rights_u8=None):
         """Batched stereo dispatch: Pallas window-correlation kernel on TPU
-        (ops/pallas_stereo.py), vmapped XLA band path otherwise."""
-        if self._use_pallas_stereo:
+        (ops/pallas_stereo.py), vmapped XLA band path otherwise.
+
+        bands_l may be the FULL (2B, K, bh, bw) band tensor (left frames
+        first) — the Pallas path reads left blocks in place, no split copy.
+        rights_u8: right-eye images, required for the Pallas path (the
+        128-lane right bands are re-extracted directly from them)."""
+        if self._use_pallas_stereo and rights_u8 is not None:
             from .stereo import stereo_match_bands_batch_pallas
+            bands_r128 = self._extract_bands_r128(T, rights_u8)
             return stereo_match_bands_batch_pallas(
-                L, R, bands_l, bands_r, T["band_y0"], T["band_x0"],
+                L, R, bands_l, bands_r128, T["band_y0"], T["band_x0"],
                 T["lvl_tile_h"], T["lvl_tile_w"], T["lvl_ntw"], T["lvl_off"],
                 T["widths"], T["scales"], T["inv_scales"], mbf, min_z,
                 self._max_tiles_w, int(max(self.geom.tile_h)),
                 int(max(self.geom.tile_w)),
                 interpret=self._pallas_interpret)
+
+        B = L.xs.shape[0]
+        if bands_l.shape[0] != B:          # full tensor: split for the XLA path
+            bands_l, bands_r = bands_l[:B], bands_l[B:]
 
         def one(l, r, bl, br):
             return self._stereo_bands(T, l, r, bl, br, mbf, min_z)
@@ -827,7 +865,8 @@ class OrbFrontend:
         take0 = jax.tree_util.tree_map(lambda a: a[0:1], res)
         take1 = jax.tree_util.tree_map(lambda a: a[1:2], res)
         u_r, depth, best_dist = self._stereo_batch(
-            T, take0, take1, bands[0:1], bands[1:2], mbf, min_z)
+            T, take0, take1, bands, None, mbf, min_z,
+            rights_u8=right_u8[None])
         sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
         return sq(take0), sq(take1), u_r[0], depth[0], best_dist[0]
 
@@ -845,7 +884,7 @@ class OrbFrontend:
         L = jax.tree_util.tree_map(lambda a: a[:B], res)
         R = jax.tree_util.tree_map(lambda a: a[B:], res)
         u_r, depth, dist = self._stereo_batch(
-            T, L, R, bands[:B], bands[B:], mbf, min_z)
+            T, L, R, bands, None, mbf, min_z, rights_u8=rights_u8)
         return L, R, u_r, depth, dist
 
     def extract(self, img_u8) -> FrontendResult:

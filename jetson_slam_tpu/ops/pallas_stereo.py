@@ -152,22 +152,21 @@ def _kernel(meta_ref, bands_l_ref, bands_r_hbm, costs_ref,
 def stereo_costs_pallas(bands_left_u8, bands_right_u8, meta,
                         max_tiles_w: int, max_tile_h: int, max_tile_w: int,
                         interpret: bool = False):
-    """bands_*: (B, K, bh, bw) uint8; meta: (B, K, 8) int32 (see module
+    """bands_left_u8: (B or 2B, K, bh, bw) uint8 — left frames first, read
+    in place (no split copy).  bands_right_u8: (B, K, bh, bw_r) uint8 with
+    bw_r a multiple of 128 (pre-padded by the extractor so the manual DMA's
+    lane slices are tile-aligned).  meta: (B, K, 8) int32 (module
     docstring).  max_tiles_w: max tiles per row over levels (sizes the
     right-band reference window); max_tile_h/w: max tile pixel size over
     levels (sizes the static row span windows can touch).
     Returns costs (B, K, NBRHOOD) float32."""
-    B, K, bh, bw = bands_left_u8.shape
+    B, K, _, bw_r = bands_right_u8.shape
+    bh, bw = bands_left_u8.shape[2], bands_left_u8.shape[3]
+    assert bw_r % 128 == 0, "right bands must be 128-lane padded"
     pad_l = max_tiles_w - 1
     win = min(-(-(SB + pad_l + 7) // 8) * 8, K)
     hi = ROW0 + max(max_tile_h, max_tile_w) + PATCH_W - 1
     span = min(-(-(hi - ROW0A) // 8) * 8, bh - ROW0A)
-    # manual DMA slices must be lane-tile (128) aligned: pad the right
-    # bands' col dim (the padding columns are zeros, never selected)
-    bw_r = -(-bw // 128) * 128
-    if bw_r != bw:
-        bands_right_u8 = jnp.pad(
-            bands_right_u8, ((0, 0), (0, 0), (0, 0), (0, bw_r - bw)))
     # flat (B, K, bh*bw_r): the row window becomes one contiguous,
     # 128-aligned lane slice for the manual DMA
     bands_right_flat = bands_right_u8.reshape(B, K, bh * bw_r)

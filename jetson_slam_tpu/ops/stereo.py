@@ -284,11 +284,14 @@ def stereo_match_bands_batch_pallas(
 ):
     """Batched stereo matching with the Pallas window-correlation kernel.
 
-    L/R: FrontendResult pytrees with leading (B,) frame axis; bands_*:
-    (B, K, bh, bw) uint8 raw tile-anchored bands.  Coarse gating and the
-    subpixel refine/prune run in XLA (vmapped over frames); the window
-    sampling + 11 shifted L1 costs run in ops/pallas_stereo.py — one DMA'd
-    right-band window per slot block, every intermediate in VMEM.  Costs are
+    L/R: FrontendResult pytrees with leading (B,) frame axis.
+    bands_left_u8: (B, K, bh, bw) or the FULL (2B, K, bh, bw) band tensor
+    with left frames first (the kernel reads left blocks in place).
+    bands_right_u8: (B, K, bh, 128) right-eye bands pre-padded to 128 lanes
+    (OrbFrontend._extract_bands_r128).  Coarse gating and the subpixel
+    refine/prune run in XLA (vmapped over frames); the window sampling + 11
+    shifted L1 costs run in ops/pallas_stereo.py — one DMA'd right-band
+    window per slot block, every intermediate in VMEM.  Costs are
     bit-identical to stereo_match_bands (integer arithmetic in f32).
     """
     from .pallas_stereo import stereo_costs_pallas

@@ -42,8 +42,11 @@ def test_pallas_stereo_matches_band_path(setup):
 
     L, R, bl, br = front(lefts, rights)
 
+    br128 = fe._extract_bands_r128(T, rights)
+    assert np.array_equal(np.asarray(br128)[..., :br.shape[-1]],
+                          np.asarray(br))
     u_p, d_p, dist_p = stereo_match_bands_batch_pallas(
-        L, R, bl, br, T["band_y0"], T["band_x0"],
+        L, R, bl, br128, T["band_y0"], T["band_x0"],
         T["lvl_tile_h"], T["lvl_tile_w"], T["lvl_ntw"], T["lvl_off"],
         T["widths"], T["scales"], T["inv_scales"], mbf, min_z,
         fe._max_tiles_w, int(max(fe.geom.tile_h)), int(max(fe.geom.tile_w)),
