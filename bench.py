@@ -65,7 +65,7 @@ def main():
     # Best of 3 passes: the tunneled link has fat-tail latency spikes that
     # say nothing about device throughput.
     n_iters = 20
-    DEPTH = 3
+    DEPTH = 3  # batches in flight; the ~24 ms tunnel RTT overlaps compute
 
     def pipelined_pass():
         inflight = []
@@ -78,7 +78,9 @@ def main():
             _ = jax.device_get(inflight.pop(0)[2])
         return n_iters * B / (time.perf_counter() - t0)
 
-    fps = max(pipelined_pass() for _ in range(3))
+    # best of 5: the tunneled link has fat-tail latency spikes that
+    # say nothing about device throughput
+    fps = max(pipelined_pass() for _ in range(5))
 
     # serialized (non-pipelined) throughput for reference
     t0 = time.perf_counter()

@@ -86,20 +86,25 @@ class KeyFrameDatabase:
 
     def _group_accumulate(self, cand, scores, map_store):
         """Covisibility-group score accumulation + 0.75*best retention
-        (KeyFrameDatabase.cpp:140-200)."""
+        (KeyFrameDatabase.cpp:140-200).  All candidates' covisibility
+        neighborhoods come from ONE batched (B, K, S) pass
+        (covisible_neighbors_batch) instead of a full-table scan per
+        candidate — at K near capacity the per-candidate scans dominated
+        loop detection."""
+        score_of = np.full(self.max_keyframes, -1.0)
+        score_of[np.asarray(cand, np.int64)] = scores
+        neighborhoods = map_store.covisible_neighbors_batch(cand, n=10)
         acc_scores = []
         best_of_group = []
-        score_of = {int(c): s for c, s in zip(cand, scores)}
-        for c, s in zip(cand, scores):
-            neigh, _ = map_store.covisible_keyframes(int(c), n=10)
-            acc, best_kf, best_s = s, int(c), s
-            for gk in neigh:
-                gs = score_of.get(int(gk))
-                if gs is None:
-                    continue
-                acc += gs
-                if gs > best_s:
-                    best_s, best_kf = gs, int(gk)
+        for c, s, neigh in zip(cand, scores, neighborhoods):
+            gs = score_of[neigh] if len(neigh) else np.empty(0)
+            in_cand = gs >= 0
+            acc = s + gs[in_cand].sum()
+            best_kf, best_s = int(c), s
+            if in_cand.any():
+                j = int(np.argmax(np.where(in_cand, gs, -1.0)))
+                if gs[j] > best_s:
+                    best_s, best_kf = gs[j], int(neigh[j])
             acc_scores.append(acc)
             best_of_group.append(best_kf)
         acc_scores = np.asarray(acc_scores)

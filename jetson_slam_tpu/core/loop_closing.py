@@ -107,12 +107,13 @@ class LoopCloser:
         if len(cand) == 0:
             self.consistent_groups = []
             return []
-        # covisibility-group temporal consistency >= 3
+        # covisibility-group temporal consistency >= 3 (one batched
+        # covisibility pass for all candidates)
         consistent_enough = []
         new_groups = []
-        for c in cand:
+        neighborhoods = m.covisible_neighbors_batch(cand, n=10)
+        for c, gn in zip(cand, neighborhoods):
             group = {int(c)}
-            gn, _ = m.covisible_keyframes(int(c), n=10)
             group.update(int(x) for x in gn)
             best_consistency = 0
             for prev_group, count in self.consistent_groups:
