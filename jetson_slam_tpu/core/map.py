@@ -350,6 +350,11 @@ class MapStore:
             hook(int(kid))
         self._kf_free.append(int(kid))
 
+    def kf_capacity_left(self) -> bool:
+        """True if add_keyframe can allocate (a free recycled row exists or
+        the high-water mark has headroom)."""
+        return bool(self._kf_free) or self._next_kf < self.max_keyframes
+
     def keyframe_ids(self):
         return np.flatnonzero(self.kf_alive)
 

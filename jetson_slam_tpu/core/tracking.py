@@ -774,6 +774,11 @@ class Tracker:
         if self.only_tracking:
             return False
         m = self.map
+        if not m.kf_capacity_left():
+            # keyframe table saturated faster than culling frees rows:
+            # degrade to tracking-only for this frame instead of raising
+            # (the reference's heap never hits this; our fixed capacity can)
+            return False
         n_kfs = m.n_keyframes()
         if frame.frame_id < self.last_reloc_frame_id + self.max_frames and \
                 n_kfs > self.max_frames:

@@ -24,19 +24,23 @@ def unpack_bits(desc_u8: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(desc_u8.shape[0], 256).astype(jnp.float32)
 
 
-def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                   dtype=jnp.int32) -> jnp.ndarray:
     """All-pairs Hamming distances.
 
-    desc_a: (M, 32) uint8, desc_b: (N, 32) uint8 -> (M, N) int32.
+    desc_a: (M, 32) uint8, desc_b: (N, 32) uint8 -> (M, N) `dtype`.
     Exact: the matmul operates on {0,1} floats, every partial sum is an
-    integer < 2^24, so float32 accumulation is lossless.
+    integer < 2^24, so float32 accumulation is lossless.  Distances are
+    <= 256, exactly representable in bfloat16 too — pass dtype=bfloat16 to
+    halve the HBM footprint of big (M, N) matrices (the stereo coarse
+    match's (K, K) table dominates the front-end's temp memory otherwise).
     """
     a = unpack_bits(desc_a)
     b = unpack_bits(desc_b)
     dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
     pa = jnp.sum(a, axis=1, keepdims=True)
     pb = jnp.sum(b, axis=1, keepdims=True)
-    return (pa + pb.T - 2.0 * dots).astype(jnp.int32)
+    return (pa + pb.T - 2.0 * dots).astype(dtype)
 
 
 def hamming_pairs(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:

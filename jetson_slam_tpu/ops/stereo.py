@@ -66,10 +66,13 @@ def _coarse_match(left, right, scales, inv_scales, level_widths, mbf, min_z):
         & (uR[None, :] <= uL[:, None])
     )
 
-    dist = hamming_matrix(left.desc, right.desc)
-    dist = jnp.where(ok, dist, INVALID)
+    # bf16 distance table: values <= 256 are exact in bfloat16 and the
+    # (K, K) matrix is the front-end's biggest temp at int32
+    dist = hamming_matrix(left.desc, right.desc, dtype=jnp.bfloat16)
+    dist = jnp.where(ok, dist, jnp.bfloat16(30000.0))
     best_idx = jnp.argmin(dist, axis=1)
     best_dist = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
+    best_dist = best_dist.astype(jnp.int32)
     # reference: init TH_HIGH, keep only if strictly better, then < (TH_HIGH+TH_LOW)/2
     th_orb = (TH_HIGH + TH_LOW) // 2
     matched = best_dist < th_orb

@@ -227,3 +227,36 @@ def test_keyframe_rows_recycle():
     assert total_allocs > 2 * m.max_keyframes
     assert m._next_kf <= m.max_keyframes
     assert m.n_keyframes() == 6       # anchor + 5 live
+
+
+def test_keyframe_capacity_saturation_degrades_gracefully():
+    """With a tiny keyframe table, a long tracked sequence must never raise
+    on capacity — keyframe creation degrades to tracking-only until culling
+    recycles rows (kf_capacity_left gate in Tracking::NeedNewKeyFrame)."""
+    from jetson_slam_tpu.config import SLAMConfig
+    from jetson_slam_tpu.core.tracking import TrackingState
+    from jetson_slam_tpu.io.synthetic import make_stereo_sequence
+    from jetson_slam_tpu.models.slam import SlamSystem
+
+    seq = make_stereo_sequence(seed=11, n_frames=40, h=120, w=160,
+                               trajectory="arc", n_points=500)
+    cfg = SLAMConfig()
+    c = cfg.camera
+    c.fx, c.fy, c.cx, c.cy = seq.fx, seq.fy, seq.cx, seq.cy
+    c.width, c.height, c.bf = 160, 120, seq.bf
+    c.k1 = c.k2 = c.p1 = c.p2 = 0.0
+    c.th_depth = 40.0
+    cfg.orb.n_levels = 3
+    cfg.orb.tile_h = 12
+    cfg.orb.tile_w = 12
+    cfg.max_map_points = 8192
+    cfg.max_keyframes = 6          # tiny: forces saturation quickly
+    slam = SlamSystem(cfg, sensor="stereo")
+    states = []
+    for i in range(len(seq.lefts)):
+        state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                     seq.timestamps[i])
+        states.append(state)
+    assert slam.map._next_kf <= cfg.max_keyframes
+    ok = sum(s == TrackingState.OK for s in states)
+    assert ok > 0.5 * len(states), f"only {ok}/{len(states)} frames OK"
