@@ -19,6 +19,7 @@ Reference semantics preserved:
 """
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -161,7 +162,13 @@ class LocalMapper:
 
     # ------------------------------------------------- triangulation
     def create_new_map_points(self, kid):
-        """LocalMapping::CreateNewMapPoints (LocalMapping.cpp:213-458)."""
+        """LocalMapping::CreateNewMapPoints (LocalMapping.cpp:213-458).
+
+        Device calls are PHASED: every neighbor's epipolar match is
+        dispatched first and pulled in ONE batched device_get, then every
+        triangulation batch likewise — on a tunneled chip the previous
+        per-neighbor blocking pulls cost 2 round-trips x #neighbors
+        (~0.5 s/keyframe); now the whole stage pays two."""
         m = self.map
         n_neigh = 20 if self.sensor == "mono" else 10
         neighbors, _ = m.covisible_keyframes(kid, n=n_neigh)
@@ -173,6 +180,9 @@ class LocalMapper:
         ratio_factor = 1.5 * self.geom.scale_factor
 
         free1 = m.kf_kp_valid[kid] & (m.kf_obs[kid] < 0)
+        # ---- phase A: dispatch all epipolar matches, ONE batched pull
+        cand = []
+        pending = []
         for kid2 in neighbors:
             kid2 = int(kid2)
             c2 = m.camera_center(kid2)
@@ -193,7 +203,7 @@ class LocalMapper:
             ey = self.cam.fy * cc[1] / max(cc[2], 1e-9) + self.cam.cy
 
             free2 = m.kf_kp_valid[kid2] & (m.kf_obs[kid2] < 0)
-            match = np.asarray(epipolar_match(
+            pending.append(epipolar_match(
                 jnp.asarray(m.kf_desc[kid]), jnp.asarray(free1),
                 jnp.asarray(m.kf_kp_angle[kid]), jnp.asarray(m.kf_kp_xy[kid]),
                 jnp.asarray(m.kf_kp_ur[kid]),
@@ -203,6 +213,18 @@ class LocalMapper:
                 jnp.asarray(m.kf_kp_octave[kid2]),
                 float(ex), float(ey),
                 jnp.asarray(self.scale_factors ** 2)))
+            cand.append((kid2, R2, t2))
+        if not pending:
+            return
+        matches = jax.device_get(pending)
+
+        # ---- phase B: dispatch all triangulations, ONE batched pull;
+        # free1 is NOT updated between neighbors here (the per-point
+        # double-claim is resolved in phase C by the kf_obs check, same as
+        # the reference's AddMapPoint ordering)
+        tri = []
+        for (kid2, R2, t2), match in zip(cand, matches):
+            match = np.asarray(match)
             s1 = np.flatnonzero((match >= 0) & free1)
             n = len(s1)
             if n == 0:
@@ -222,7 +244,7 @@ class LocalMapper:
             x2n = np.stack([(xy2[:, 0] - self.cam.cx) / self.cam.fx,
                             (xy2[:, 1] - self.cam.cy) / self.cam.fy,
                             np.ones(cap, np.float32)], axis=1)
-            pts, ok = triangulate_pairs(
+            out = triangulate_pairs(
                 jnp.broadcast_to(jnp.asarray(R1), (cap, 3, 3)),
                 jnp.broadcast_to(jnp.asarray(t1), (cap, 3)),
                 jnp.broadcast_to(jnp.asarray(R2), (cap, 3, 3)),
@@ -240,6 +262,13 @@ class LocalMapper:
                 jnp.asarray(self.sigma2[m.kf_kp_octave[kid2, s2p]]),
                 self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 self.cam.bf, float(ratio_factor))
+            tri.append((kid2, s1, s2, n, out))
+        if not tri:
+            return
+        pulled = jax.device_get([t[-1] for t in tri])
+
+        # ---- phase C: host-side registration (unchanged semantics)
+        for (kid2, s1, s2, n, _), (pts, ok) in zip(tri, pulled):
             pts = np.asarray(pts)[:n]
             ok = np.asarray(ok)[:n]
             for i in np.flatnonzero(ok):
@@ -253,7 +282,6 @@ class LocalMapper:
                 m.update_normal_and_depth(pid, self.scale_factors,
                                           self.geom.n_levels)
                 self.recent_points.append((pid, kid))
-                free1[sl1] = False
 
     def _scene_median_depth(self, kid):
         """KeyFrame::ComputeSceneMedianDepth (KeyFrame.cpp:637)."""
@@ -283,10 +311,19 @@ class LocalMapper:
             for nn in n2:
                 if int(nn) != kid:
                     targets.add(int(nn))
-        # fuse current KF's points into targets, then targets' points into kid
+        # fuse current KF's points into targets, then targets' points into
+        # kid.  The forward fuses are dispatched for ALL targets and pulled
+        # in ONE batched device_get (per-target blocking pulls cost a full
+        # tunnel round-trip each); candidate selection therefore sees the
+        # pre-fuse map snapshot — the commit loop re-validates liveness, so
+        # a point replaced by an earlier target's fuse is simply skipped,
+        # like the reference's sequential ORBmatcher::Fuse ordering
         my_pids = np.unique(m.kf_obs[kid][m.kf_obs[kid] >= 0])
-        for tk in targets:
-            self._fuse_into(tk, my_pids)
+        pending = [self._fuse_dispatch(tk, my_pids) for tk in targets]
+        pulled = jax.device_get([p[2] for p in pending if p is not None])
+        for (tk, idx, _), sel in zip(
+                [p for p in pending if p is not None], pulled):
+            self._fuse_commit(tk, idx, np.asarray(sel))
         back_pids = []
         for tk in targets:
             o = m.kf_obs[tk]
@@ -302,10 +339,19 @@ class LocalMapper:
 
     def _fuse_into(self, kid, pids):
         """ORBmatcher::Fuse (ORBmatcher.cpp:812-962) with th=3."""
+        out = self._fuse_dispatch(kid, pids)
+        if out is None:
+            return
+        _, idx, sel = out
+        self._fuse_commit(kid, idx, np.asarray(sel))
+
+    def _fuse_dispatch(self, kid, pids):
+        """Dispatch the frustum + projection search for one fuse target;
+        returns (kid, padded pid table, device selection) without blocking."""
         m = self.map
         pids = pids[m.pt_alive[pids]] if len(pids) else pids
         if len(pids) == 0:
-            return
+            return None
         cap = max(128, 1 << int(np.ceil(np.log2(len(pids)))))
         pad = cap - len(pids)
         idx = np.concatenate([pids, np.zeros(pad, pids.dtype)])
@@ -321,9 +367,9 @@ class LocalMapper:
             0.0, float(self.geom.widths[0]), 0.0, float(self.geom.heights[0]),
             self.geom.n_levels, float(np.log(self.geom.scale_factor)), 0.5,
             jnp.asarray(alive))
-        ur_proj = np.asarray(u) - self.cam.bf * np.asarray(invz)
+        ur_proj = u - self.cam.bf * invz          # on device: no mid pull
         sel = matcher.search_by_projection_points(
-            u, v, jnp.asarray(ur_proj), lvl, vcos, ok,
+            u, v, ur_proj, lvl, vcos, ok,
             jnp.asarray(m.pt_desc[idx]),
             jnp.asarray(m.kf_kp_xy[kid]), jnp.asarray(m.kf_kp_octave[kid]),
             jnp.asarray(m.kf_desc[kid]), jnp.asarray(m.kf_kp_valid[kid]),
@@ -331,7 +377,10 @@ class LocalMapper:
             jnp.asarray(np.ones(m.n_slots, bool)),  # fuse also checks occupied
             3.0, self.scale_factors, self.geom.n_levels, nn_ratio=1.0,
             fuse=True)
-        sel = np.asarray(sel)
+        return kid, idx, sel
+
+    def _fuse_commit(self, kid, idx, sel):
+        m = self.map
         for slot in np.flatnonzero(sel >= 0):
             pid = int(idx[sel[slot]])
             if not m.pt_alive[pid]:
