@@ -82,12 +82,10 @@ def main():
             kp_s = jnp.concatenate(s_l + [zpad], 1)
             if stage == "nmsg":
                 return kp_x.sum() + kp_y.sum()
-            base = T["lvl_base"][None, :] + kp_y * W0 + kp_x
-            sc = fe._take_b(score_stack.reshape(B, -1),
-                            base[:, :, None] + T["rel_sub"]).astype(
-                                jnp.float32)
+            sl, sr, su, sd = fe._subpixel_scores(
+                T, score_stack, kp_x, kp_y)
             if stage == "subpixel":
-                return sc.sum() + kp_x.sum()
+                return sl.sum() + sr.sum() + su.sum() + sd.sum()
             bands_u8 = fe._extract_bands(pyr)
             if stage == "bands":
                 return bands_u8.astype(jnp.int32).sum() + kp_x.sum()

@@ -569,6 +569,58 @@ class OrbFrontend:
         """Batched flat gather: flat_b (B, N), idx_b (B, ...) -> (B, ...)."""
         return jax.vmap(lambda f, i: jnp.take(f, i, mode="clip"))(flat_b, idx_b)
 
+    def _subpixel_scores(self, T, score_stack, kp_x, kp_y):
+        """3x3-cross raw neighbor scores (sl, sr, su, sd) per slot, gather-free.
+
+        The former (B, Kp, 5) flat gather cost ~3 ms/32-eye batch (TPU
+        gathers move ~1 element/cycle).  Instead: shift the whole score
+        stack by one pixel in each direction (pad+slice copies), retile
+        every shifted map with the SAME tile partition the NMS-G argmax
+        used, and pull each slot's value with an in-tile one-hot
+        mask-reduce — exact int32 arithmetic, pure copies + VPU reduces.
+        The FAST ROI keeps every real keypoint >= 3 px inside its level, so
+        a zero-filled shifted slice agrees with the old flat gather on all
+        valid slots.  score_stack: (B, L, H0, W0) int32 raw scores.
+        """
+        g = self.geom
+        B = score_stack.shape[0]
+        W0 = score_stack.shape[-1]
+        H0 = score_stack.shape[-2]
+        # FAST scores are < 4096 -> int16 halves the shift/retile traffic;
+        # the center score is NOT re-fetched (the NMS-G per-tile max IS the
+        # raw score at the keypoint — the caller passes kp_s as s0)
+        s16 = score_stack.astype(jnp.int16)
+        shl = jnp.pad(s16, ((0, 0), (0, 0), (0, 0), (1, 0)))[..., :, :W0]
+        shr = jnp.pad(s16, ((0, 0), (0, 0), (0, 0), (0, 1)))[..., :, 1:]
+        shu = jnp.pad(s16, ((0, 0), (0, 0), (1, 0), (0, 0)))[..., :H0, :]
+        shd = jnp.pad(s16, ((0, 0), (0, 0), (0, 1), (0, 0)))[..., 1:, :]
+        sh4 = jnp.stack([shl, shr, shu, shd], 0)          # (4, B, L, H0, W0)
+
+        outs = [[] for _ in range(4)]
+        for i in range(g.n_levels):
+            h, w = g.heights[i], g.widths[i]
+            th, tw = g.tile_h[i], g.tile_w[i]
+            nth, ntw = g.n_tiles_h[i], g.n_tiles_w[i]
+            hp, wp = nth * th, ntw * tw
+            padded = jnp.zeros((4, B, hp, wp), jnp.int16).at[
+                :, :, :h, :w].set(sh4[:, :, i, :h, :w])
+            t = padded.reshape(4, B, nth, th, ntw, tw).swapaxes(3, 4)
+            tf = t.reshape(4, B, nth * ntw, th * tw)
+            o = g.level_offsets[i]
+            k_l = nth * ntw
+            it = ((kp_y[:, o:o + k_l] - T["band_y0"][None, o:o + k_l]) * tw
+                  + (kp_x[:, o:o + k_l] - T["band_x0"][None, o:o + k_l]))
+            iot = jnp.arange(th * tw, dtype=jnp.int32)
+            sel = (iot[None, None, :] == it[..., None])[None]  # (1,B,k,thw)
+            picked = jnp.sum(jnp.where(sel, tf.astype(jnp.int32), 0),
+                             axis=-1)                     # (4, B, k_l)
+            for s in range(4):
+                outs[s].append(picked[s])
+        pad = self.n_slots_padded - self.n_slots
+        zpad = jnp.zeros((B, pad), jnp.int32)
+        return tuple(jnp.concatenate(v + [zpad], axis=1).astype(jnp.float32)
+                     for v in outs)
+
     def _extract_bands(self, levels):
         """Per-level tile-anchored bands, concatenated in slot order and
         padded to (B, n_slots_padded, BH, BW).  levels: list of (B, Hi, Wi).
@@ -668,15 +720,13 @@ class OrbFrontend:
                 lambda x, y, s: nms_ms(x, y, s, T["slot_level"], T["slot_scale"],
                                        L, H0, W0))(kp_x, kp_y, kp_s)
 
-        # per-slot flat base offsets into the flattened (L*H0*W0) stacks
-        base = T["lvl_base"][None, :] + kp_y * W0 + kp_x  # (B, Kp)
-
-        # subpixel 3x3 parabola on the raw score stack
+        # subpixel 3x3 parabola on the raw score stack; the center score is
+        # kp_s itself (the NMS-G argmax value), only the 4 neighbors are
+        # fetched
         if self.subpixel:
-            sc = self._take_b(score_stack.reshape(B, -1),
-                              base[:, :, None] + T["rel_sub"]).astype(jnp.float32)
-            s0, sl, sr, su, sd = (sc[..., 0], sc[..., 1], sc[..., 2],
-                                  sc[..., 3], sc[..., 4])
+            s0 = kp_s.astype(jnp.float32)
+            sl, sr, su, sd = self._subpixel_scores(
+                T, score_stack, kp_x, kp_y)
 
             def fit(sm, sp):
                 den = sm - 2.0 * s0 + sp
@@ -833,12 +883,29 @@ class OrbFrontend:
         (ops/pallas_stereo.py), vmapped XLA band path otherwise.
 
         bands_l may be the FULL (2B, K, bh, bw) band tensor (left frames
-        first) — the Pallas path reads left blocks in place, no split copy.
-        rights_u8: right-eye images, required for the Pallas path (the
-        128-lane right bands are re-extracted directly from them)."""
-        if self._use_pallas_stereo and rights_u8 is not None:
+        first) — the Pallas path reads left blocks in place, no split copy,
+        and derives the 128-lane right bands by zero-padding the right half
+        of the same tensor: every position the kernel can touch lies in
+        cols < bw (max ox_r + STRIP_W = (tile_w-1) + MARGIN - 10 + 21 <=
+        bw for all level geometries), so the pad is read-identical to a
+        dedicated 128-lane extraction (_extract_bands_r128, kept for
+        standalone call sites) at the cost of one copy instead of a second
+        pyramid + band pass (~3 ms/16-frame batch).
+        rights_u8: right-eye images (legacy fallback when bands_l only
+        covers the left eyes)."""
+        B_ = L.xs.shape[0]
+        if self._use_pallas_stereo and (bands_l.shape[0] == 2 * B_
+                                        or rights_u8 is not None):
             from .stereo import stereo_match_bands_batch_pallas
-            bands_r128 = self._extract_bands_r128(T, rights_u8)
+            bh, bw = self.band_hw
+            # bw = tile_w + 2*MARGIN >= every window's last column
+            assert (max(self.geom.tile_w) - 1 + 22 - 10 + 21) <= bw
+            bw_r = -(-bw // 128) * 128
+            if bands_l.shape[0] == 2 * B_:
+                bands_r128 = jnp.pad(
+                    bands_l[B_:], ((0, 0), (0, 0), (0, 0), (0, bw_r - bw)))
+            else:
+                bands_r128 = self._extract_bands_r128(T, rights_u8)
             return stereo_match_bands_batch_pallas(
                 L, R, bands_l, bands_r128, T["band_y0"], T["band_x0"],
                 T["lvl_tile_h"], T["lvl_tile_w"], T["lvl_ntw"], T["lvl_off"],

@@ -11,13 +11,17 @@ patch, the (512, band) one-hot sample selectors and the selected strips —
 lives in VMEM, so HBM traffic collapses to one uint8 band read plus the
 32-byte descriptor + two-moment write per slot.
 
-Per slot (all batched over a block of SB slots, matmuls on the MXU via
+Per slot (all batched over a block of `sb` slots, matmuls on the MXU via
 batched `dot_general`):
-1. separable 7-tap blur via two symmetric band-matrix matmuls on the MXU in
-   f32 (orb_gaussian.cu:21-110), floored to integers and border-preserved
-   against the true level border; the band margin (ops/bands.MARGIN = 22 =
-   rBRIEF reach 19 + blur radius 3) guarantees real image pixels under every
-   sampled position.
+1. separable 7-tap blur via two symmetric band-matrix matmuls on the MXU at
+   one-pass bf16 with f32 accumulation (orb_gaussian.cu:21-110) — the same
+   arithmetic the XLA band path runs at TPU default matmul precision, whose
+   descriptor fuzz is measured ATE-neutral (tests/test_descriptor_fuzz.py);
+   an f32-HIGHEST variant cost ~4.6 ms/32-eye batch in 6-pass MXU mode and
+   a VPU shifted-add stencil was slower still — floored to integers and
+   border-preserved against the true level border; the band margin
+   (ops/bands.MARGIN = 22 = rBRIEF reach 19 + blur radius 3) guarantees
+   real image pixels under every sampled position.
 2. intensity-centroid moments from the RAW band via two one-hot matmuls
    (orb_FAST_orientation.cu:17-62); cos/sin come from m10/m01 directly
    (rsqrt), the float angle itself is recovered by the caller with a true
@@ -45,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 from . import tables
 from .bands import MARGIN
 
-SB = 32          # slots per program
+SB = 128         # slots per program (default; tuned on v5e — see
+                 # examples/check_desc_v3.py: 128/128 beat 32/512 by ~15%)
+CHUNK = 128      # rBRIEF pattern points per inner step (512 / CHUNK steps)
 IC_HALF = tables.HALF_PATCH_SIZE          # 15
 ICP = 2 * IC_HALF + 1                     # 31
 ICP_PAD = 32
@@ -85,10 +91,11 @@ def _gauss_band(n: int) -> np.ndarray:
 
 
 def _descriptor_kernel(meta_ref, raw_ref, wuv_ref, pxy_ref, pack_ref,
-                       gy_ref, gx_ref, desc_ref, mom_ref, *, bh, bw):
+                       gy_ref, gx_ref, desc_ref, mom_ref, *, bh, bw, sb,
+                       chunk):
     raw_u8 = raw_ref[...]
-    raw = raw_u8.astype(jnp.int32).astype(jnp.float32)    # (SB, bh, bw)
-    meta = meta_ref[...]                                  # (SB, 8) int32
+    raw = raw_u8.astype(jnp.int32).astype(jnp.float32)    # (sb, bh, bw)
+    meta = meta_ref[...]                                  # (sb, 8) int32
     oy = meta[:, 0:1]
     ox = meta[:, 1:2]
     y0 = meta[:, 2:3]
@@ -96,48 +103,55 @@ def _descriptor_kernel(meta_ref, raw_ref, wuv_ref, pxy_ref, pack_ref,
     hl = meta[:, 4:5]
     wl = meta[:, 5:6]
 
-    # ---- separable 7-tap blur: two band-matrix matmuls on the MXU in f32
-    # (each output row/col is the 7-tap weighted sum; border columns of the
-    # band matrices under-weight edge pixels, but those lie outside every
-    # sampled position — the margin covers the blur support)
-    rowsum = jax.lax.dot_general(                         # (SB, bw, bh)
-        raw, gy_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())), precision=_HIGH)
-    blur = jax.lax.dot_general(                           # (SB, bh, bw)
-        rowsum, gx_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())), precision=_HIGH)
+    # ---- separable 7-tap blur: two band-matrix matmuls on the MXU at
+    # one-pass bf16 (raw values 0..255 are exact in bf16; only the gaussian
+    # weights round — the same arithmetic the XLA band path runs at TPU
+    # default matmul precision, whose descriptor fuzz is measured
+    # ATE-neutral in tests/test_descriptor_fuzz.py).  The previous
+    # f32-HIGHEST formulation cost ~4.6 ms/32-eye batch in 6-pass mode; a
+    # VPU shifted-add stencil was measured SLOWER (14 lane/sublane
+    # realignment copies per block).
+    raw16 = raw.astype(jnp.bfloat16)
+    rowsum = jax.lax.dot_general(                         # (sb, bw, bh)
+        raw16, gy_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    blur = jax.lax.dot_general(                           # (sb, bh, bw)
+        rowsum.astype(jnp.bfloat16), gx_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     # border-preserve: pixels within 3 of the true level border keep raw
-    ir = jax.lax.broadcasted_iota(jnp.int32, (SB, bh, bw), 1) \
+    ir = jax.lax.broadcasted_iota(jnp.int32, (sb, bh, bw), 1) \
         + (y0 - MARGIN)[:, :, None]                       # image row
-    ic_ = jax.lax.broadcasted_iota(jnp.int32, (SB, bh, bw), 2) \
+    ic_ = jax.lax.broadcasted_iota(jnp.int32, (sb, bh, bw), 2) \
         + (x0 - MARGIN)[:, :, None]                       # image col
     interior = ((ir >= 3) & (ir < hl[:, :, None] - 3)
                 & (ic_ >= 3) & (ic_ < wl[:, :, None] - 3))
     blur = jnp.where(interior, jnp.floor(blur), raw)
 
     # ---- IC moments from the raw band: 31x31 one-hot window matmuls
-    u_of = jax.lax.broadcasted_iota(jnp.int32, (SB, bh, ICP_PAD), 2)
+    u_of = jax.lax.broadcasted_iota(jnp.int32, (sb, bh, ICP_PAD), 2)
     rows31 = jnp.where(u_of < ICP, oy[:, :, None] + (MARGIN - IC_HALF) + u_of,
                        -1)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (SB, bh, ICP_PAD), 1)
-    R31 = (iota_r == rows31).astype(jnp.bfloat16)         # (SB, bh, 32)
-    v_of = jax.lax.broadcasted_iota(jnp.int32, (SB, bw, ICP_PAD), 2)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (sb, bh, ICP_PAD), 1)
+    R31 = (iota_r == rows31).astype(jnp.bfloat16)         # (sb, bh, 32)
+    v_of = jax.lax.broadcasted_iota(jnp.int32, (sb, bw, ICP_PAD), 2)
     cols31 = jnp.where(v_of < ICP, ox[:, :, None] + (MARGIN - IC_HALF) + v_of,
                        -1)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (SB, bw, ICP_PAD), 1)
-    C31 = (iota_c == cols31).astype(jnp.bfloat16)         # (SB, bw, 32)
-    strip = jax.lax.dot_general(                          # (SB, bw, 32u)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (sb, bw, ICP_PAD), 1)
+    C31 = (iota_c == cols31).astype(jnp.bfloat16)         # (sb, bw, 32)
+    strip = jax.lax.dot_general(                          # (sb, bw, 32u)
         raw.astype(jnp.bfloat16), R31,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    patch = jax.lax.dot_general(                          # (SB, 32u, 32v)
+    patch = jax.lax.dot_general(                          # (sb, 32u, 32v)
         strip.astype(jnp.bfloat16), C31,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     wuv = wuv_ref[...]                                    # (2, 32, 32)
     # keep every intermediate >= 2D (Mosaic layout requirement)
     m10 = jnp.sum(jnp.sum(patch * wuv[0][None], axis=2),
-                  axis=1, keepdims=True)                  # (SB, 1)
+                  axis=1, keepdims=True)                  # (sb, 1)
     m01 = jnp.sum(jnp.sum(patch * wuv[1][None], axis=2),
                   axis=1, keepdims=True)
     m2 = m10 * m10 + m01 * m01
@@ -146,48 +160,62 @@ def _descriptor_kernel(meta_ref, raw_ref, wuv_ref, pxy_ref, pack_ref,
     ca = jnp.where(m2 > 0, m10 * inv, 1.0)
     sa = jnp.where(m2 > 0, m01 * inv, 0.0)
 
-    # ---- rBRIEF: rotated integer offsets -> absolute band coordinates
+    # ---- rBRIEF: rotated integer offsets -> absolute band coordinates,
+    # sampled CHUNK pattern points at a time (one-hot row-select MXU dot +
+    # col mask-reduce) so the (sb, bw, chunk) intermediates stay small
+    # enough to run sb=64 slots per program inside ~16 MB of VMEM
     px = pxy_ref[0:1, :]                                  # (1, 512)
     py = pxy_ref[1:2, :]
     rows = jnp.round(px * sa + py * ca).astype(jnp.int32)
     cols = jnp.round(px * ca - py * sa).astype(jnp.int32)
-    band_r = oy + MARGIN + rows                           # (SB, 512)
+    band_r = oy + MARGIN + rows                           # (sb, 512)
     band_c = ox + MARGIN + cols
-    iota_bh = jax.lax.broadcasted_iota(jnp.int32, (SB, bh, 512), 1)
-    prowT = (iota_bh == band_r[:, None, :]).astype(jnp.bfloat16)
-    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (SB, bw, 512), 1)
-    # the whole selection chain stays bf16: blurred values are integers
-    # 0..255 (exact in bf16) and pcolT is one-hot, so the w-reduction has
-    # exactly one nonzero term — bf16 halves the VMEM traffic of the two
-    # (SB, bw, 512) intermediates at zero precision cost
-    pcolT = (iota_bw == band_c[:, None, :]).astype(jnp.bfloat16)
-    tsel = jax.lax.dot_general(                           # (SB, bw, 512)
-        blur.astype(jnp.bfloat16), prowT,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    # w-reduction as a ones-vector MXU dot: the VPU tree-reduce over 64
-    # sublanes of a (SB, bw, 512) tensor costs ~6 full-tensor passes
-    masked = tsel * pcolT                                 # one nonzero per w
-    ones_w = jnp.ones((SB, 1, bw), jnp.bfloat16)
-    samples = jax.lax.dot_general(                        # (SB, 1, 512)
-        ones_w, masked,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)[:, 0, :]
+    blur16 = blur.astype(jnp.bfloat16)
+    iota_bh = jax.lax.broadcasted_iota(jnp.int32, (sb, bh, chunk), 1)
+    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (sb, bw, chunk), 1)
+    ones_w = jnp.ones((sb, 1, bw), jnp.bfloat16)
+    parts = []
+    for c0 in range(0, 512, chunk):
+        # the selection chain stays bf16: blurred values are integers
+        # 0..255 (exact in bf16) and pcolT is one-hot, so the w-reduction
+        # has exactly one nonzero term.  (A transposed variant putting the
+        # pattern dim on the matmul M dim measured ~2x SLOWER — contracting
+        # the lane dim of the one-hot forces Mosaic relayouts; this
+        # orientation keeps every operand in its native layout.)
+        br_c = jax.lax.slice_in_dim(band_r, c0, c0 + chunk, axis=1)
+        bc_c = jax.lax.slice_in_dim(band_c, c0, c0 + chunk, axis=1)
+        prowT = (iota_bh == br_c[:, None, :]
+                 ).astype(jnp.bfloat16)                   # (sb, bh, chunk)
+        pcolT = (iota_bw == bc_c[:, None, :]
+                 ).astype(jnp.bfloat16)                   # (sb, bw, chunk)
+        tsel = jax.lax.dot_general(                       # (sb, bw, chunk)
+            blur16, prowT,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        # w-reduction as a ones-vector MXU dot: the VPU tree-reduce over
+        # bw sublanes of the masked tensor costs ~6 full-tensor passes
+        masked = tsel * pcolT                             # one nonzero per w
+        parts.append(jax.lax.dot_general(                 # (sb, 1, chunk)
+            ones_w, masked,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :])
+    samples = jnp.concatenate(parts, axis=1)              # (sb, 512)
     bits = (samples[:, :256] < samples[:, 256:]).astype(jnp.bfloat16)
     desc = jnp.dot(bits, pack_ref[...],
-                   preferred_element_type=jnp.float32)    # (SB, 32)
+                   preferred_element_type=jnp.float32)    # (sb, 32)
     desc_ref[...] = desc.astype(jnp.int32)
     mom_ref[:, 0:1] = m10
     mom_ref[:, 1:2] = m01
-    mom_ref[:, 2:8] = jnp.zeros((SB, 6), jnp.float32)
+    mom_ref[:, 2:8] = jnp.zeros((sb, 6), jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def orb_descriptors_pallas(bands_raw_u8, meta, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "sb", "chunk"))
+def orb_descriptors_pallas(bands_raw_u8, meta, interpret: bool = False,
+                           sb: int = SB, chunk: int = CHUNK):
     """Fused blur + orientation + descriptor over keypoint bands.
 
     bands_raw_u8: (N, bh, bw) uint8 tile-anchored raw bands (N = eyes*slots,
-    padded to a multiple of SB).  meta: (N, 8) int32 columns
+    padded to a multiple of sb).  meta: (N, 8) int32 columns
     [oy, ox, band_y0, band_x0, level_h, level_w, 0, 0] where
     (oy, ox) = keypoint position minus the band's tile origin (so the
     keypoint sits at band coordinates (oy + MARGIN, ox + MARGIN)).
@@ -195,15 +223,17 @@ def orb_descriptors_pallas(bands_raw_u8, meta, interpret: bool = False):
     columns 0/1 — angle = arctan2(m01, m10)).
     """
     N, bh, bw = bands_raw_u8.shape
-    grid = (N // SB,)
-    kernel = partial(_descriptor_kernel, bh=bh, bw=bw)
+    while N % sb:
+        sb //= 2
+    grid = (N // sb,)
+    kernel = partial(_descriptor_kernel, bh=bh, bw=bw, sb=sb, chunk=chunk)
     pxy = jnp.asarray(np.stack([_PX, _PY]))               # (2, 512)
     desc, mom = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((SB, 8), lambda i: (i, 0)),
-            pl.BlockSpec((SB, bh, bw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((sb, 8), lambda i: (i, 0)),
+            pl.BlockSpec((sb, bh, bw), lambda i: (i, 0, 0)),
             pl.BlockSpec((2, ICP_PAD, ICP_PAD), lambda i: (0, 0, 0)),
             pl.BlockSpec((2, 512), lambda i: (0, 0)),
             pl.BlockSpec((256, 32), lambda i: (0, 0)),
@@ -211,15 +241,20 @@ def orb_descriptors_pallas(bands_raw_u8, meta, interpret: bool = False):
             pl.BlockSpec((bw, bw), lambda i: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((SB, 32), lambda i: (i, 0)),
-            pl.BlockSpec((SB, 8), lambda i: (i, 0)),
+            pl.BlockSpec((sb, 32), lambda i: (i, 0)),
+            pl.BlockSpec((sb, 8), lambda i: (i, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, 32), jnp.int32),
             jax.ShapeDtypeStruct((N, 8), jnp.float32),
         ),
+        # v5e has far more physical VMEM than the default 16 MB scoped
+        # limit; sb=64 with chunked rBRIEF peaks around ~20 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(meta, bands_raw_u8, jnp.asarray(_WUV), pxy,
-      jnp.asarray(_PACK, jnp.bfloat16), jnp.asarray(_gauss_band(bh)),
-      jnp.asarray(_gauss_band(bw)))
+      jnp.asarray(_PACK, jnp.bfloat16),
+      jnp.asarray(_gauss_band(bh), jnp.bfloat16),
+      jnp.asarray(_gauss_band(bw), jnp.bfloat16))
     return desc, mom

@@ -46,38 +46,39 @@ PATCH_HALF = 5
 NBRHOOD = 11
 NBR_HALF = 5
 STRIP_W = PATCH_W + NBRHOOD - 1   # 21
-SB = 32                            # left slots per program
+SB = 128                           # left slots per program (default;
+                                   # tuned on v5e, examples/check_stereo_v2.py)
 COST_PAD = 16                      # costs padded 11 -> 16 lanes
 ROW0 = MARGIN - PATCH_HALF         # first band row any window can touch
 ROW0A = (ROW0 // 8) * 8            # 8-aligned DMA/crop base
 
 
-def _banded_onehot(origin, span, width):
-    """(SB, span, width) bf16 with [s, origin[s]+u, u] = 1 — the banded
+def _banded_onehot(origin, span, width, sb):
+    """(sb, span, width) bf16 with [s, origin[s]+u, u] = 1 — the banded
     row/col selector (origin relative to the cropped row window / full
     band columns)."""
-    io = jax.lax.broadcasted_iota(jnp.int32, (SB, span, width), 1)
-    of = jax.lax.broadcasted_iota(jnp.int32, (SB, span, width), 2)
+    io = jax.lax.broadcasted_iota(jnp.int32, (sb, span, width), 1)
+    of = jax.lax.broadcasted_iota(jnp.int32, (sb, span, width), 2)
     return (io == origin[:, :, None] + of).astype(jnp.bfloat16)
 
 
-def _center_full(row2d, idx, cols):
-    """Broadcast row2d[:, idx] to (SB, PATCH_W, cols) — Mosaic cannot
+def _center_full(row2d, idx, cols, sb):
+    """Broadcast row2d[:, idx] to (sb, PATCH_W, cols) — Mosaic cannot
     broadcast sublanes+lanes in one op, so expand lanes then sublanes."""
-    c = row2d[:, idx:idx + 1]                             # (SB, 1)
-    c_row = jnp.broadcast_to(c, (SB, cols))               # lanes only
+    c = row2d[:, idx:idx + 1]                             # (sb, 1)
+    c_row = jnp.broadcast_to(c, (sb, cols))               # lanes only
     return jax.lax.broadcast_in_dim(
-        c_row, (SB, PATCH_W, cols), (0, 2))               # sublanes only
+        c_row, (sb, PATCH_W, cols), (0, 2))               # sublanes only
 
 
 def _kernel(meta_ref, bands_l_ref, bands_r_hbm, costs_ref,
-            win_ref, sem, *, span, win, pad_l, k_slots, bw, bw_r):
+            win_ref, sem, *, span, win, pad_l, k_slots, bw, bw_r, sb):
     b = pl.program_id(0)
     j = pl.program_id(1)
     # 8-aligned window start (manual DMA slices must be tile-aligned);
-    # win = ceil8(SB + pad_l + 7) so flooring to 8 never loses coverage of
-    # [j*SB - pad_l, j*SB + SB)
-    start = jnp.clip(((j * SB - pad_l) // 8) * 8, 0, k_slots - win)
+    # win = ceil8(sb + pad_l + 7) so flooring to 8 never loses coverage of
+    # [j*sb - pad_l, j*sb + sb)
+    start = jnp.clip(((j * sb - pad_l) // 8) * 8, 0, k_slots - win)
     start = pl.multiple_of(start, 8)
     # one strided DMA: the 8-aligned row band any right strip can touch,
     # for every band in this block's static reference window
@@ -97,8 +98,8 @@ def _kernel(meta_ref, bands_l_ref, bands_r_hbm, costs_ref,
     # ---- left 11x11 patch from the row-cropped left band
     rawL = bands_l_ref[0][:, ROW0A:ROW0A + span, :]
     rawL = rawL.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-    RL = _banded_onehot(oy_l, span, PATCH_W)              # (SB, span, 11)
-    CL = _banded_onehot(ox_l, bw, PATCH_W)                # (SB, bw, 11)
+    RL = _banded_onehot(oy_l, span, PATCH_W, sb)              # (SB, span, 11)
+    CL = _banded_onehot(ox_l, bw, PATCH_W, sb)                # (SB, bw, 11)
     stripL = jax.lax.dot_general(                         # (SB, bw, 11u)
         rawL, RL, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -111,21 +112,21 @@ def _kernel(meta_ref, bands_l_ref, bands_r_hbm, costs_ref,
     # ---- select each slot's right band: ONE (SB, WIN) one-hot matmul over
     # the flat (win, span*128) window, then the native lanes->sublanes
     # reshape (the last dim stays exactly 128, which Mosaic supports)
-    io_w = jax.lax.broadcasted_iota(jnp.int32, (SB, win), 1)
+    io_w = jax.lax.broadcasted_iota(jnp.int32, (sb, win), 1)
     selw = (io_w == (slot_r - start)).astype(jnp.bfloat16)
     winf = win_ref[...].astype(jnp.int32).astype(
         jnp.float32).astype(jnp.bfloat16)                 # (win, span*128)
     rawR = jax.lax.dot_general(
         selw, winf, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # (SB, span*128)
-    rawR = rawR.reshape(SB, span, bw_r).astype(jnp.bfloat16)
+    rawR = rawR.reshape(sb, span, bw_r).astype(jnp.bfloat16)
 
     # ---- right 11x21 strip via banded one-hot dots
-    RR = _banded_onehot(oy_r, span, PATCH_W)              # (SB, span, 11)
+    RR = _banded_onehot(oy_r, span, PATCH_W, sb)              # (SB, span, 11)
     stripR = jax.lax.dot_general(                         # (SB, bw_r, 11u)
         rawR, RR, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    CR = _banded_onehot(ox_r, bw_r, STRIP_W)              # (SB, bw_r, 21)
+    CR = _banded_onehot(ox_r, bw_r, STRIP_W, sb)              # (SB, bw_r, 21)
     rstrip = jax.lax.dot_general(                         # (SB, 11u, 21)
         stripR, CR,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -133,25 +134,25 @@ def _kernel(meta_ref, bands_l_ref, bands_r_hbm, costs_ref,
 
     # ---- center-subtracted L1 over the 11 disparity shifts
     lrow = lpatch[:, PATCH_W // 2, :]                     # (SB, 11)
-    ldiff = lpatch - _center_full(lrow, PATCH_W // 2, PATCH_W)
+    ldiff = lpatch - _center_full(lrow, PATCH_W // 2, PATCH_W, sb)
     rrow = rstrip[:, PATCH_W // 2, :]                     # (SB, 21)
     cost_cols = []
     for o in range(NBRHOOD):
         rsh = rstrip[:, :, o:o + PATCH_W]                 # (SB, 11, 11)
-        rc = _center_full(rrow, o + PATCH_W // 2, PATCH_W)
+        rc = _center_full(rrow, o + PATCH_W // 2, PATCH_W, sb)
         d = jnp.abs(ldiff - (rsh - rc))
         cost_cols.append(jnp.sum(jnp.sum(d, axis=2), axis=1,
                                  keepdims=True))
     costs = jnp.concatenate(
-        cost_cols + [jnp.zeros((SB, COST_PAD - NBRHOOD), jnp.float32)], 1)
+        cost_cols + [jnp.zeros((sb, COST_PAD - NBRHOOD), jnp.float32)], 1)
     costs_ref[0] = costs
 
 
 @partial(jax.jit, static_argnames=("max_tiles_w", "max_tile_h", "max_tile_w",
-                                   "interpret"))
+                                   "interpret", "sb"))
 def stereo_costs_pallas(bands_left_u8, bands_right_u8, meta,
                         max_tiles_w: int, max_tile_h: int, max_tile_w: int,
-                        interpret: bool = False):
+                        interpret: bool = False, sb: int = SB):
     """bands_left_u8: (B or 2B, K, bh, bw) uint8 — left frames first, read
     in place (no split copy).  bands_right_u8: (B, K, bh, bw_r) uint8 with
     bw_r a multiple of 128 (pre-padded by the extractor so the manual DMA's
@@ -163,30 +164,34 @@ def stereo_costs_pallas(bands_left_u8, bands_right_u8, meta,
     B, K, _, bw_r = bands_right_u8.shape
     bh, bw = bands_left_u8.shape[2], bands_left_u8.shape[3]
     assert bw_r % 128 == 0, "right bands must be 128-lane padded"
+    while K % sb:
+        sb //= 2
     pad_l = max_tiles_w - 1
-    win = min(-(-(SB + pad_l + 7) // 8) * 8, K)
+    win = min(-(-(sb + pad_l + 7) // 8) * 8, K)
     hi = ROW0 + max(max_tile_h, max_tile_w) + PATCH_W - 1
     span = min(-(-(hi - ROW0A) // 8) * 8, bh - ROW0A)
     # flat (B, K, bh*bw_r): the row window becomes one contiguous,
     # 128-aligned lane slice for the manual DMA
     bands_right_flat = bands_right_u8.reshape(B, K, bh * bw_r)
-    grid = (B, K // SB)
+    grid = (B, K // sb)
     kernel = partial(_kernel, span=span, win=win, pad_l=pad_l, k_slots=K,
-                     bw=bw, bw_r=bw_r)
+                     bw=bw, bw_r=bw_r, sb=sb)
     costs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, SB, 8), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, SB, bh, bw), lambda b, j: (b, j, 0, 0)),
+            pl.BlockSpec((1, sb, 8), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, sb, bh, bw), lambda b, j: (b, j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, SB, COST_PAD), lambda b, j: (b, j, 0)),
+        out_specs=pl.BlockSpec((1, sb, COST_PAD), lambda b, j: (b, j, 0)),
         out_shape=jax.ShapeDtypeStruct((B, K, COST_PAD), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((win, span * bw_r), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(meta, bands_left_u8, bands_right_flat)
     return costs[:, :, :NBRHOOD]

@@ -283,7 +283,7 @@ def stereo_match_bands_batch_pallas(
     lvl_tile_h, lvl_tile_w, lvl_ntw, lvl_off,
     level_widths, scales, inv_scales,
     mbf, min_z, max_tiles_w: int, max_tile_h: int, max_tile_w: int,
-    interpret: bool = False,
+    interpret: bool = False, sb: int = 128,
 ):
     """Batched stereo matching with the Pallas window-correlation kernel.
 
@@ -321,7 +321,7 @@ def stereo_match_bands_batch_pallas(
                      axis=-1).astype(jnp.int32)
     costs = stereo_costs_pallas(bands_left_u8, bands_right_u8, meta,
                                 max_tiles_w, max_tile_h, max_tile_w,
-                                interpret=interpret)
+                                interpret=interpret, sb=sb)
     u_right, depth = jax.vmap(lambda co, cc: _refine_and_prune(co, cc, mbf))(
         costs, c)
     return u_right, depth, c["best_dist"]
