@@ -11,17 +11,24 @@ selectors; both round-trip HBM.  Here the kernel exploits the tile-anchored
 band geometry (ops/bands.py) twice:
 
 - the right band slot for left slot k lives in the SAME tile row at a
-  tile-x <= the left tile-x, so a block of SB consecutive left slots only
-  references right bands in the static window
-  [block_start - (max_tiles_w - 1), block_start + SB): ONE strided DMA
-  pulls that window's relevant rows into VMEM;
+  tile-x <= the left tile-x, so slot_r for a block of sb consecutive left
+  slots lies in [j*sb - (max_tiles_w - 1), (j+1)*sb): the kernel reads the
+  right bands through TWO BlockSpec views of the same array — the current
+  block and the previous block as the tail — so Mosaic double-buffers both
+  automatically (a v1 of this kernel issued one manual strided DMA per
+  program and exposed ~15 us of un-overlapped DMA latency per step,
+  ~2.7 ms/16-frame batch);
 - window origins inside a band span only the tile size (the keypoint is in
   its tile), so the kernel statically restricts to an 8-aligned row band
-  around [MARGIN-5, MARGIN-5+tile+10] and never touches the rest.
+  around [MARGIN-5, MARGIN-5+tile+10] and never touches the rest, and
+  every reachable window column is < bw (= tile + 2*MARGIN), so the
+  selected right band is cropped back to bw lanes before the strip dots
+  (the 128-lane padding exists only to make the flatten/select legal).
 
-Slot->band selection is a per-row (SB, WIN) one-hot matmul; the 11-wide
-row/col window extraction rides small banded one-hot dots, everything in
-VMEM, with no Mosaic-unsupported reshapes or unaligned HBM slices.
+Slot->band selection is a pair of (sb, sb) one-hot matmuls over the
+flattened row windows; the 11-wide row/col window extraction rides small
+banded one-hot dots, everything in VMEM, with no Mosaic-unsupported
+reshapes or unaligned HBM slices.
 
 meta columns (int32): [oy_l, ox_l, slot_r, oy_r, ox_r, 0, 0, 0] where
 oy/ox are window ORIGINS inside the band (left: kp - PATCH_HALF; right
@@ -71,24 +78,11 @@ def _center_full(row2d, idx, cols, sb):
         c_row, (sb, PATCH_W, cols), (0, 2))               # sublanes only
 
 
-def _kernel(meta_ref, bands_l_ref, bands_r_hbm, costs_ref,
-            win_ref, sem, *, span, win, pad_l, k_slots, bw, bw_r, sb):
-    b = pl.program_id(0)
+def _kernel(meta_ref, bands_l_ref, br_main_ref, br_tail_ref, br_head_ref,
+            costs_ref, *, span, k_slots, bw, bw_r, sb):
     j = pl.program_id(1)
-    # 8-aligned window start (manual DMA slices must be tile-aligned);
-    # win = ceil8(sb + pad_l + 7) so flooring to 8 never loses coverage of
-    # [j*sb - pad_l, j*sb + sb)
-    start = jnp.clip(((j * sb - pad_l) // 8) * 8, 0, k_slots - win)
-    start = pl.multiple_of(start, 8)
-    # one strided DMA: the 8-aligned row band any right strip can touch,
-    # for every band in this block's static reference window
-    cp = pltpu.make_async_copy(
-        bands_r_hbm.at[b, pl.ds(start, win),
-                       pl.ds(ROW0A * bw_r, span * bw_r)],
-        win_ref, sem)
-    cp.start()
 
-    meta = meta_ref[0]                                    # (SB, 8)
+    meta = meta_ref[0]                                    # (sb, 8)
     oy_l = meta[:, 0:1] - ROW0A
     ox_l = meta[:, 1:2]
     slot_r = meta[:, 2:3]
@@ -98,47 +92,68 @@ def _kernel(meta_ref, bands_l_ref, bands_r_hbm, costs_ref,
     # ---- left 11x11 patch from the row-cropped left band
     rawL = bands_l_ref[0][:, ROW0A:ROW0A + span, :]
     rawL = rawL.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-    RL = _banded_onehot(oy_l, span, PATCH_W, sb)              # (SB, span, 11)
-    CL = _banded_onehot(ox_l, bw, PATCH_W, sb)                # (SB, bw, 11)
-    stripL = jax.lax.dot_general(                         # (SB, bw, 11u)
+    RL = _banded_onehot(oy_l, span, PATCH_W, sb)          # (sb, span, 11)
+    CL = _banded_onehot(ox_l, bw, PATCH_W, sb)            # (sb, bw, 11)
+    stripL = jax.lax.dot_general(                         # (sb, bw, 11u)
         rawL, RL, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    lpatch = jax.lax.dot_general(                         # (SB, 11u, 11v)
+    lpatch = jax.lax.dot_general(                         # (sb, 11u, 11v)
         stripL.astype(jnp.bfloat16), CL,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
-    cp.wait()
-    # ---- select each slot's right band: ONE (SB, WIN) one-hot matmul over
-    # the flat (win, span*128) window, then the native lanes->sublanes
-    # reshape (the last dim stays exactly 128, which Mosaic supports)
-    io_w = jax.lax.broadcasted_iota(jnp.int32, (sb, win), 1)
-    selw = (io_w == (slot_r - start)).astype(jnp.bfloat16)
-    winf = win_ref[...].astype(jnp.int32).astype(
-        jnp.float32).astype(jnp.bfloat16)                 # (win, span*128)
+    # ---- select each slot's right band: slot_r lies in the current block
+    # [j*sb, (j+1)*sb), the previous one (tail — same-row tiles to the
+    # left, up to max_tiles_w-1 back), or the next one (head — the
+    # correlation row yy = round(vL*inv_s) can round into the NEXT tile
+    # row, pushing slot_r up to max_tiles_w slots ABOVE the left slot);
+    # three (sb, sb) one-hot matmuls over the flat (sb, span*bw_r) row
+    # windows, then the native lanes->sublanes reshape (last dim 128)
+    off = slot_r - j * sb                                 # (sb, 1)
+    io_w = jax.lax.broadcasted_iota(jnp.int32, (sb, sb), 1)
+    sel_m = (io_w == off).astype(jnp.bfloat16)
+    sel_t = (io_w == off + sb).astype(jnp.bfloat16)       # off < 0 -> tail
+    sel_h = (io_w == off - sb).astype(jnp.bfloat16)       # off >= sb -> head
+
+    def flat(ref):
+        return ref[0][:, ROW0A:ROW0A + span, :].reshape(
+            sb, span * bw_r).astype(jnp.int32).astype(
+                jnp.float32).astype(jnp.bfloat16)
+
     rawR = jax.lax.dot_general(
-        selw, winf, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (SB, span*128)
-    rawR = rawR.reshape(sb, span, bw_r).astype(jnp.bfloat16)
+        sel_m, flat(br_main_ref),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rawR = rawR + jax.lax.dot_general(
+        sel_t, flat(br_tail_ref),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rawR = rawR + jax.lax.dot_general(
+        sel_h, flat(br_head_ref),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (sb, span*bw_r)
+    # every reachable window column is < bw: crop the lane padding away
+    # before the strip dots (halves their contraction width)
+    rawR = rawR.reshape(sb, span, bw_r)[:, :, :bw].astype(jnp.bfloat16)
 
     # ---- right 11x21 strip via banded one-hot dots
-    RR = _banded_onehot(oy_r, span, PATCH_W, sb)              # (SB, span, 11)
-    stripR = jax.lax.dot_general(                         # (SB, bw_r, 11u)
+    RR = _banded_onehot(oy_r, span, PATCH_W, sb)          # (sb, span, 11)
+    stripR = jax.lax.dot_general(                         # (sb, bw, 11u)
         rawR, RR, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    CR = _banded_onehot(ox_r, bw_r, STRIP_W, sb)              # (SB, bw_r, 21)
-    rstrip = jax.lax.dot_general(                         # (SB, 11u, 21)
+    CR = _banded_onehot(ox_r, bw, STRIP_W, sb)            # (sb, bw, 21)
+    rstrip = jax.lax.dot_general(                         # (sb, 11u, 21)
         stripR, CR,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
     # ---- center-subtracted L1 over the 11 disparity shifts
-    lrow = lpatch[:, PATCH_W // 2, :]                     # (SB, 11)
+    lrow = lpatch[:, PATCH_W // 2, :]                     # (sb, 11)
     ldiff = lpatch - _center_full(lrow, PATCH_W // 2, PATCH_W, sb)
-    rrow = rstrip[:, PATCH_W // 2, :]                     # (SB, 21)
+    rrow = rstrip[:, PATCH_W // 2, :]                     # (sb, 21)
     cost_cols = []
     for o in range(NBRHOOD):
-        rsh = rstrip[:, :, o:o + PATCH_W]                 # (SB, 11, 11)
+        rsh = rstrip[:, :, o:o + PATCH_W]                 # (sb, 11, 11)
         rc = _center_full(rrow, o + PATCH_W // 2, PATCH_W, sb)
         d = jnp.abs(ldiff - (rsh - rc))
         cost_cols.append(jnp.sum(jnp.sum(d, axis=2), axis=1,
@@ -155,43 +170,45 @@ def stereo_costs_pallas(bands_left_u8, bands_right_u8, meta,
                         interpret: bool = False, sb: int = SB):
     """bands_left_u8: (B or 2B, K, bh, bw) uint8 — left frames first, read
     in place (no split copy).  bands_right_u8: (B, K, bh, bw_r) uint8 with
-    bw_r a multiple of 128 (pre-padded by the extractor so the manual DMA's
-    lane slices are tile-aligned).  meta: (B, K, 8) int32 (module
-    docstring).  max_tiles_w: max tiles per row over levels (sizes the
-    right-band reference window); max_tile_h/w: max tile pixel size over
-    levels (sizes the static row span windows can touch).
-    Returns costs (B, K, NBRHOOD) float32."""
+    bw_r a multiple of 128 (lane-padded by the caller so the in-kernel
+    flatten/select is tile-aligned).  meta: (B, K, 8) int32 (module
+    docstring).  max_tiles_w: max tiles per row over levels (must be <= sb
+    so the previous block covers every referenced tail slot); max_tile_h/w:
+    max tile pixel size over levels (sizes the static row span windows can
+    touch).  Returns costs (B, K, NBRHOOD) float32."""
     B, K, _, bw_r = bands_right_u8.shape
     bh, bw = bands_left_u8.shape[2], bands_left_u8.shape[3]
     assert bw_r % 128 == 0, "right bands must be 128-lane padded"
     while K % sb:
         sb //= 2
-    pad_l = max_tiles_w - 1
-    win = min(-(-(sb + pad_l + 7) // 8) * 8, K)
+    if sb < max_tiles_w - 1:
+        raise ValueError(
+            f"slot block size {sb} (largest power-of-two divisor of K={K} "
+            f"<= {SB}) must cover max_tiles_w-1={max_tiles_w - 1} tail "
+            f"slots")
     hi = ROW0 + max(max_tile_h, max_tile_w) + PATCH_W - 1
     span = min(-(-(hi - ROW0A) // 8) * 8, bh - ROW0A)
-    # flat (B, K, bh*bw_r): the row window becomes one contiguous,
-    # 128-aligned lane slice for the manual DMA
-    bands_right_flat = bands_right_u8.reshape(B, K, bh * bw_r)
-    grid = (B, K // sb)
-    kernel = partial(_kernel, span=span, win=win, pad_l=pad_l, k_slots=K,
-                     bw=bw, bw_r=bw_r, sb=sb)
+    n_j = K // sb
+    grid = (B, n_j)
+    kernel = partial(_kernel, span=span, k_slots=K, bw=bw, bw_r=bw_r, sb=sb)
     costs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, sb, 8), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, sb, bh, bw), lambda b, j: (b, j, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, sb, bh, bw_r), lambda b, j: (b, j, 0, 0)),
+            pl.BlockSpec((1, sb, bh, bw_r),
+                         lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0)),
+            pl.BlockSpec((1, sb, bh, bw_r),
+                         lambda b, j: (b, jnp.minimum(j + 1, n_j - 1), 0,
+                                       0)),
         ],
         out_specs=pl.BlockSpec((1, sb, COST_PAD), lambda b, j: (b, j, 0)),
         out_shape=jax.ShapeDtypeStruct((B, K, COST_PAD), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((win, span * bw_r), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(meta, bands_left_u8, bands_right_flat)
+    )(meta, bands_left_u8, bands_right_u8, bands_right_u8,
+      bands_right_u8)
     return costs[:, :, :NBRHOOD]
