@@ -76,6 +76,8 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--async", dest="async_mapping", action="store_true")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="fused-tracking pipeline depth (frames in flight)")
     ap.add_argument("--viewer", default="", help="PNG output directory")
     ap.add_argument("--kitti-format", action="store_true")
     ap.add_argument("--vocab", default="",
@@ -112,6 +114,7 @@ def main(argv=None):
         cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
         cfg.orb.n_levels = 4; cfg.orb.tile_h = 16; cfg.orb.tile_w = 16
         slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
+                      pipeline_depth=ns.pipeline,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
         entries = list(range(ns.frames))
         loader = lambda i: (seq.timestamps[i], (seq.lefts[i], seq.rights[i]))
@@ -145,6 +148,7 @@ def main(argv=None):
                    "mono-euroc": datasets.load_euroc_mono}
         entries = loaders[ns.mode](ns.args[1])
         slam = SlamSystem(cfg, sensor="mono", enable_ba=not ns.no_ba,
+                      pipeline_depth=ns.pipeline,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
         loader = lambda e: (e[0], (datasets.imread_gray(e[1]),))
         run(slam, entries, loader, ns, mode="mono")
@@ -153,6 +157,7 @@ def main(argv=None):
     if ns.mode == "rgbd-tum":
         entries = datasets.load_tum_rgbd(ns.args[1], ns.args[2])
         slam = SlamSystem(cfg, sensor="rgbd", enable_ba=not ns.no_ba,
+                      pipeline_depth=ns.pipeline,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
 
         def loader(e):
@@ -170,6 +175,7 @@ def main(argv=None):
     else:
         entries = datasets.load_kitti_stereo(ns.args[1])
     slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
+                      pipeline_depth=ns.pipeline,
                       async_mapping=ns.async_mapping, vocabulary=vocab)
 
     def loader(e):

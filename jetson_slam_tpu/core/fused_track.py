@@ -176,21 +176,15 @@ def _fused_track_jit(
             ok, sel, R2, t2, inl2, n_map2)
 
 
-def fused_track(fe, cam, imgs, mode, mbf, min_z, pred_Tcw,
-                last_state, cand, th_mm, th_lm, scale_factors,
-                inv_level_sigma2, cam_params, forward, backward):
-    """Dispatch the fused step and pull EVERYTHING in one device_get.
+def fused_track_dispatch(fe, cam, imgs, mode, mbf, min_z, pred_Tcw,
+                         last_state, cand, th_mm, th_lm, scale_factors,
+                         inv_level_sigma2, cam_params, forward, backward):
+    """Enqueue the fused step and START the D2H copies; no blocking.
 
-    imgs: (left, right) for stereo, (gray, depth_f32) for rgbd, (gray,)
-    for mono.  last_state: dict with pw/has_pt/real/pid/octave/angle/desc/
-    ur arrays (numpy or device).  cand: dict with pos/normal/maxd/mind/
-    desc/alive/pid device arrays (padded).  cam_params: (fx, fy, cx, cy,
-    bf, mb, min_x, max_x, min_y, max_y, log_scale, n_levels).
-
-    Returns (pulled_frontend, dev_cache, FusedTrackResult) where
-    pulled_frontend = (valid, xs, ys, octave, angle, response, desc, u_r,
-    depth) numpy arrays and dev_cache maps field names to the
-    still-resident device arrays for reuse by later programs.
+    Same inputs as fused_track.  Returns (device_arrays, dev_cache) to be
+    completed by fused_track_pull — the split lets the tracker keep a
+    frame in flight (software pipelining over the host<->device link)
+    while it finishes host bookkeeping for the previous frame.
     """
     (fx, fy, cx, cy, bf, mb, min_x, max_x, min_y, max_y, log_scale,
      n_levels) = cam_params
@@ -219,21 +213,55 @@ def fused_track(fe, cam, imgs, mode, mbf, min_z, pred_Tcw,
      m, n_match, R1, t1, inl1, n_map1,
      ok, sel, R2, t2, inl2, n_map2) = out
 
-    # ONE batched pull: device_get starts all D2H copies then blocks once
-    pulled = jax.device_get((
-        cur.valid, cur.xs, cur.ys, cur.octave, cur.angle, cur.response,
-        cur.desc, u_r_dev, depth_dev,
-        m, n_match, R1, t1, inl1, n_map1,
-        ok, sel, R2, t2, inl2, n_map2))
+    arrays = (cur.valid, cur.xs, cur.ys, cur.octave, cur.angle,
+              cur.response, cur.desc, u_r_dev, depth_dev,
+              m, n_match, R1, t1, inl1, n_map1,
+              ok, sel, R2, t2, inl2, n_map2)
+    # start the D2H copies now so the later blocking pull only waits on
+    # transport that could not be overlapped
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            break
+    dev_cache = {"valid": cur.valid, "desc": cur.desc, "octave": cur.octave,
+                 "angle": cur.angle, "u_right": u_r_dev}
+    return arrays, dev_cache
+
+
+def fused_track_pull(arrays, dev_cache):
+    """Block on a fused_track_dispatch and assemble the host-side result.
+
+    Returns (pulled_frontend, dev_cache, FusedTrackResult) where
+    pulled_frontend = (valid, xs, ys, octave, angle, response, desc, u_r,
+    depth) numpy arrays and dev_cache maps field names to the
+    still-resident device arrays for reuse by later programs.
+    """
+    pulled = jax.device_get(arrays)
     (valid, xs, ys, octave, angle, response, desc, u_r, depth,
      m_h, n_match_h, R1_h, t1_h, inl1_h, n_map1_h,
      ok_h, sel_h, R2_h, t2_h, inl2_h, n_map2_h) = pulled
-
-    dev_cache = {"valid": cur.valid, "desc": cur.desc, "octave": cur.octave,
-                 "angle": cur.angle, "u_right": u_r_dev}
     fused = FusedTrackResult(
         m=m_h, n_match=int(n_match_h), R1=R1_h, t1=t1_h, inl1=inl1_h,
         n_map1=int(n_map1_h), ok=ok_h, sel=sel_h, R2=R2_h, t2=t2_h,
         inl2=inl2_h, n_map2=int(n_map2_h))
     return (valid, xs, ys, octave, angle, response, desc, u_r, depth), \
         dev_cache, fused
+
+
+def fused_track(fe, cam, imgs, mode, mbf, min_z, pred_Tcw,
+                last_state, cand, th_mm, th_lm, scale_factors,
+                inv_level_sigma2, cam_params, forward, backward):
+    """Dispatch the fused step and pull EVERYTHING in one device_get.
+
+    imgs: (left, right) for stereo, (gray, depth_f32) for rgbd, (gray,)
+    for mono.  last_state: dict with pw/has_pt/real/pid/octave/angle/desc/
+    ur arrays (numpy or device).  cand: dict with pos/normal/maxd/mind/
+    desc/alive/pid device arrays (padded).  cam_params: (fx, fy, cx, cy,
+    bf, mb, min_x, max_x, min_y, max_y, log_scale, n_levels).
+    """
+    arrays, dev_cache = fused_track_dispatch(
+        fe, cam, imgs, mode, mbf, min_z, pred_Tcw, last_state, cand,
+        th_mm, th_lm, scale_factors, inv_level_sigma2, cam_params,
+        forward, backward)
+    return fused_track_pull(arrays, dev_cache)

@@ -34,7 +34,8 @@ class TrackingState(enum.Enum):
 class Tracker:
     def __init__(self, frontend, cam, map_store: MapStore, sensor="stereo",
                  local_mapper=None, min_frames=0, max_frames=None,
-                 database=None, map_lock=None, fused=True):
+                 database=None, map_lock=None, fused=True,
+                 pipeline_depth=0):
         self.frontend = frontend
         self.cam = cam
         self.map = map_store
@@ -79,6 +80,16 @@ class Tracker:
         self._spec_pid = None      # host copy of candidate pids
         self._spec_gen = None      # pt_gen snapshot paired with _spec
         self.fused_frames = 0      # frames tracked via the fused fast path
+        # software pipelining over the host<->device link: keep up to
+        # pipeline_depth fused dispatches in flight, finishing (pulling +
+        # bookkeeping) them FIFO one frame late.  An in-flight frame is
+        # dispatched against the newest FINISHED frame's state, so with
+        # depth d the motion-model stage matches against the frame d+1
+        # back and the pose prediction applies the velocity d+1 times; the
+        # search threshold widens accordingly.  depth 0 = classic blocking
+        # behavior (identical semantics to the reference).
+        self.pipeline_depth = int(pipeline_depth)
+        self._inflight = []        # FIFO of pending fused dispatches
         # keyframe rows are recycled (core/map.py): if the tracker's
         # reference keyframe is culled, fall back to its spanning-tree
         # parent BEFORE the row can be reused for a different keyframe
@@ -92,7 +103,11 @@ class Tracker:
 
     # ================================================================ api
     def track_stereo(self, left, right, timestamp):
-        if self.fused:
+        if self.fused and self.pipeline_depth > 0:
+            out = self._track_pipelined((left, right), timestamp, "stereo")
+            if out is not None:
+                return out
+        elif self.fused:
             out = self._dispatch_fused((left, right), timestamp, "stereo")
             if out is not None:
                 frame, fused = out
@@ -102,7 +117,12 @@ class Tracker:
         return self._track(frame)
 
     def track_rgbd(self, rgb, depth, timestamp):
-        if self.fused:
+        if self.fused and self.pipeline_depth > 0:
+            out = self._track_pipelined(
+                (rgb, np.asarray(depth, np.float32)), timestamp, "rgbd")
+            if out is not None:
+                return out
+        elif self.fused:
             out = self._dispatch_fused(
                 (rgb, np.asarray(depth, np.float32)), timestamp, "rgbd")
             if out is not None:
@@ -113,7 +133,11 @@ class Tracker:
         return self._track(frame)
 
     def track_monocular(self, img, timestamp):
-        if self.fused:
+        if self.fused and self.pipeline_depth > 0:
+            out = self._track_pipelined((img,), timestamp, "mono")
+            if out is not None:
+                return out
+        elif self.fused:
             out = self._dispatch_fused((img,), timestamp, "mono")
             if out is not None:
                 frame, fused = out
@@ -121,6 +145,43 @@ class Tracker:
                     return self._track_locked(frame, fused)
         frame = Frame(self.frontend, self.cam, timestamp, img)
         return self._track(frame)
+
+    # ------------------------------------------- pipelined fused tracking
+    def _track_pipelined(self, imgs, timestamp, mode):
+        """Keep up to pipeline_depth fused dispatches in flight: dispatch
+        the current frame against the newest FINISHED state, then finish
+        (pull + bookkeeping) the oldest in-flight frame.  The tunnel RTT of
+        the pull overlaps the in-flight frames' device execution, so the
+        steady-state wall time per frame approaches device + host time
+        instead of device + host + round-trip.  Returns the (state, frame)
+        of the newest FINISHED frame, or None to fall back to the classic
+        path for this frame (pipeline flushed first)."""
+        pending = self._begin_fused(imgs, timestamp, mode)
+        if pending is None:
+            self.flush_pipeline()
+            return None
+        self._inflight.append(pending)
+        ret = None
+        while len(self._inflight) > self.pipeline_depth:
+            ret = self._finish_oldest()
+        if ret is not None:
+            return ret
+        # pipeline still filling: report current state with no frame yet
+        return self.state, None
+
+    def _finish_oldest(self):
+        pending = self._inflight.pop(0)
+        frame, fz = self._finish_fused(pending)
+        with self._map_lock:
+            return self._track_locked(frame, fz)
+
+    def flush_pipeline(self):
+        """Finish every in-flight fused dispatch (FIFO).  Returns the last
+        (state, frame) finished, or None if the pipeline was empty."""
+        ret = None
+        while self._inflight:
+            ret = self._finish_oldest()
+        return ret
 
     # =============================================================== core
     def _track(self, frame: Frame):
@@ -227,14 +288,29 @@ class Tracker:
         """Prepare inputs under the map lock, then run the whole tracking
         step as ONE device program with ONE pull (core/fused_track.py).
         Returns (frame, FusedTrackResult) or None when preconditions fail."""
-        from .fused_track import fused_track
+        pending = self._begin_fused(imgs, timestamp, mode)
+        if pending is None:
+            return None
+        return self._finish_fused(pending)
+
+    def _begin_fused(self, imgs, timestamp, mode):
+        """Input prep (under the map lock) + non-blocking device dispatch.
+        Returns a pending dict for _finish_fused, or None when the fused
+        preconditions fail."""
+        from .fused_track import fused_track_dispatch
         with self._map_lock:
             if not self._fused_preconditions():
                 return None
             self._update_last_frame()
             lf = self.last_frame
             m = self.map
-            pred = (self.velocity @ lf.Tcw).astype(np.float32)
+            # with frames in flight the last FINISHED frame is `steps`
+            # frames back: apply the velocity that many times
+            steps = 1 + len(self._inflight)
+            pred = lf.Tcw
+            for _ in range(steps):
+                pred = self.velocity @ pred
+            pred = pred.astype(np.float32)
             pw, has_pt, alive = self._last_frame_points()
             last_state = {
                 "pw": pw, "has_pt": has_pt, "real": alive,
@@ -279,28 +355,39 @@ class Tracker:
                 )
                 self._spec = cand
             cand = self._spec
-        # device dispatch + the single pull run OUTSIDE the lock so the
-        # async mapping worker overlaps (core/pipeline.py)
+        # device dispatch runs OUTSIDE the lock so the async mapping worker
+        # overlaps (core/pipeline.py); the pull happens in _finish_fused
         mb = self.cam.bf / self.cam.fx
-        tz = float(self.velocity[2, 3])  # == (Tcw_pred @ lf.Twc)[2, 3]
-        th = 7.0 if mode in ("stereo", "rgbd") else 15.0
+        tz = float((pred @ lf.Twc)[2, 3])
+        # widen the motion-model window with the prediction horizon
+        th = (7.0 if mode in ("stereo", "rgbd") else 15.0) * steps
         mono = mode == "mono"
-        pulled, dev_cache, fz = fused_track(
+        arrays, dev_cache = fused_track_dispatch(
             self.frontend, self.cam, imgs, mode, self.cam.bf, mb, pred,
-            last_state, cand, th, 1.0, self.scale_factors,
+            last_state, cand, min(th, 21.0), 1.0, self.scale_factors,
             self.inv_level_sigma2,
             (self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy, self.cam.bf,
              mb, self.min_x, self.max_x, self.min_y, self.max_y,
              self.log_scale, self.n_levels),
             forward=(not mono) and tz > mb,
             backward=(not mono) and -tz > mb)
+        return dict(arrays=arrays, dev_cache=dev_cache, timestamp=timestamp,
+                    last_gen=last_gen, spec_gen=self._spec_gen,
+                    spec_pid=self._spec_pid)
+
+    def _finish_fused(self, pending):
+        """Block on a _begin_fused dispatch and build the Frame + result."""
+        from .fused_track import fused_track_pull
+        pulled, dev_cache, fz = fused_track_pull(
+            pending["arrays"], pending["dev_cache"])
         (valid, xs, ys, octave, angle, response, desc, u_r, depth) = pulled
         frame = Frame.from_arrays(
-            self.frontend, self.cam, timestamp, valid, xs, ys, octave,
-            angle, response, desc, u_right=u_r, depth=depth,
+            self.frontend, self.cam, pending["timestamp"], valid, xs, ys,
+            octave, angle, response, desc, u_right=u_r, depth=depth,
             dev_cache=dev_cache)
-        fz.last_gen = last_gen
-        fz.spec_gen = self._spec_gen
+        fz.last_gen = pending["last_gen"]
+        fz.spec_gen = pending["spec_gen"]
+        fz.spec_pid = pending["spec_pid"]
         return frame, fz
 
     def _consume_fused_local(self, frame: Frame, fz):
@@ -331,7 +418,9 @@ class Tracker:
         cur_pids = frame.map_points[frame.map_points >= 0]
         m.pt_visible[cur_pids] += 1
         frame.temp_flag = np.zeros(frame.n_slots, bool)  # temp VO pts drop
-        cand_pid = self._spec_pid
+        # the candidate set the DISPATCH saw — in pipelined mode
+        # speculation may have re-picked self._spec_pid since
+        cand_pid = fz.spec_pid
         ok_pid = cand_pid[fz.ok]
         ok_fresh = m.pt_alive[ok_pid] & (m.pt_gen[ok_pid] == fz.spec_gen[fz.ok])
         m.pt_visible[ok_pid[ok_fresh]] += 1

@@ -28,7 +28,10 @@ class SlamSystem:
     def __init__(self, config: SLAMConfig, sensor: str = SENSOR_STEREO,
                  vocabulary=None, enable_mapping: bool = True,
                  enable_ba: bool = True, async_mapping: bool = False,
-                 mapping_device=None, mesh=None):
+                 mapping_device=None, mesh=None, pipeline_depth: int = 0):
+        # pipeline_depth: software-pipeline the fused tracking step over
+        # the host<->device link (core/tracking.py Tracker.pipeline_depth);
+        # 0 = classic blocking per-frame behavior
         # mesh: optional jax.sharding.Mesh — local/global bundle adjustment
         # runs landmark-sharded across it (parallel/dist_ba.py)
         self.mesh = mesh
@@ -55,6 +58,7 @@ class SlamSystem:
         self.enable_mapping = enable_mapping
         self.enable_ba = enable_ba
         self.async_mapping = async_mapping
+        self.pipeline_depth = int(pipeline_depth)
         self.pipeline = None
         self.localization_only = False
         self._wire(MapStore(max_points=config.max_map_points,
@@ -107,7 +111,8 @@ class SlamSystem:
         self.tracker = Tracker(self.frontend, cam, self.map,
                                sensor=self.sensor,
                                local_mapper=mapper_handle,
-                               database=self.database, map_lock=map_lock)
+                               database=self.database, map_lock=map_lock,
+                               pipeline_depth=self.pipeline_depth)
         self.tracker.only_tracking = self.localization_only
 
     # ------------------------------------------------------------- track
@@ -178,6 +183,7 @@ class SlamSystem:
 
     def shutdown(self):
         """System::Shutdown — drain/stop mapping threads (System.cpp:313)."""
+        self.tracker.flush_pipeline()
         if self.pipeline is not None:
             self.pipeline.shutdown()
             self.pipeline = None
@@ -213,6 +219,7 @@ class SlamSystem:
         (loop-corrected / BA-refined) reference keyframe pose, so global
         corrections propagate into the exported trajectory like the
         reference's mlRelativeFramePoses chain."""
+        self.tracker.flush_pipeline()
         out_ts, out_poses = [], []
         for entry in self.tracker.trajectory:
             ts, Tcw, ref_kf, lost, rel, ref_gen = entry

@@ -113,3 +113,29 @@ def test_fused_falls_back_when_motion_fails():
     assert state == TrackingState.OK
     assert tr.fused_frames == used_before  # fused consume did not run
     slam.shutdown()
+
+
+def test_pipelined_tracking_matches_blocking():
+    """pipeline_depth > 0 keeps fused dispatches in flight (tracking each
+    frame against the newest FINISHED frame, velocity applied once per
+    in-flight step) and must land in the same accuracy class as the
+    blocking fused path, with the trajectory complete and time-ordered."""
+    import pytest
+
+    seq = make_stereo_sequence(seed=11, n_frames=25, h=240, w=320,
+                               trajectory="arc", n_points=900)
+    _, _, ate0 = _run(seq, fused=True)
+    for depth in (1, 2):
+        slam = make_system(seq, pipeline_depth=depth)
+        states = run_sequence(slam, seq)
+        slam.shutdown()  # flushes the in-flight tail
+        est_ts, est_poses = slam.camera_trajectory()
+        assert len(est_poses) == len(seq.lefts), \
+            f"depth={depth}: {len(est_poses)} poses"
+        assert np.all(np.diff(np.asarray(est_ts)) > 0)
+        ate = ate_rmse(np.asarray(est_ts), np.asarray(est_poses),
+                       seq.timestamps, seq.poses_twc)
+        assert ate < 0.05, f"depth={depth} ATE {ate}"
+        assert ate <= max(3.0 * ate0, 0.02), (depth, ate, ate0)
+        assert slam.tracker.fused_frames >= len(seq.lefts) - 5
+        assert not slam.tracker._inflight
