@@ -53,6 +53,10 @@ def main(argv=None):
     ap.add_argument("--cams", type=int, default=64)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: --points is PER SHARD; the problem "
+                         "grows with N and ideal time stays flat "
+                         "(efficiency = t1/tN)")
     ns = ap.parse_args(argv)
 
     import jax
@@ -67,13 +71,27 @@ def main(argv=None):
 
     FX = FY = 320.0
     CX, CY, BF = 160.0, 120.0, 40.0
+    C = ns.cams
+    # per-iteration psum payload (core/local_ba.py build_and_solve): the
+    # reduced camera system S (C,C,6,6) + Hcc (C,6,6) + rhs (C,6) + accept
+    # costs — the ONLY collectives; everything per-landmark stays local
+    psum_bytes = (C * C * 36 + C * 36 + C * 6 + 4) * 4
+    print(f"psum payload per LM iteration: {psum_bytes/1e6:.2f} MB "
+          f"(C={C}: S {C}x{C}x6x6 + Hcc + rhs, f32)")
     rng = np.random.default_rng(0)
-    pts, Rs, ts, e_cam, e_pt, obs = build_problem(
-        rng, ns.cams, ns.points, FX, FY, CX, CY, BF)
-    stereo = np.ones(len(e_cam), bool)
-    fixed = np.zeros(ns.cams, bool)
+
+    def problem_for(n_pts):
+        pts, Rs, ts, e_cam, e_pt, obs = build_problem(
+            rng, C, n_pts, FX, FY, CX, CY, BF)
+        stereo = np.ones(len(e_cam), bool)
+        return pts, Rs, ts, e_cam, e_pt, obs, stereo
+
+    fixed = np.zeros(C, bool)
     fixed[0] = True
-    print(f"problem: {ns.cams} cams, {ns.points} pts, {len(e_cam)} edges")
+    if not ns.weak:
+        pts, Rs, ts, e_cam, e_pt, obs, stereo = problem_for(ns.points)
+        print(f"problem: {C} cams, {ns.points} pts, {len(e_cam)} edges "
+              f"(strong scaling)")
 
     devices = jax.devices()
     sizes = sorted({1, 2, 4, 8, len(devices)})
@@ -81,6 +99,12 @@ def main(argv=None):
     for n in sizes:
         if n > len(devices):
             continue
+        if ns.weak:
+            rng = np.random.default_rng(0)  # same per-shard stream per N
+            pts, Rs, ts, e_cam, e_pt, obs, stereo = problem_for(
+                ns.points * n)
+            print(f"N={n}: {C} cams, {len(pts)} pts, {len(e_cam)} edges "
+                  f"({ns.points}/shard)")
         mesh = Mesh(np.array(devices[:n]), ("data",))
         parts = partition_problem(
             n, pts, e_cam, e_pt, obs, stereo,
@@ -104,10 +128,14 @@ def main(argv=None):
             out = step(*args)
         jax.device_get(out[1])
         dt = (time.perf_counter() - t0) / ns.reps
-        eff = (t1 / (dt * n)) if t1 is not None else 1.0
         if t1 is None:
             t1 = dt
-        print(f"N={n}: {dt*1e3:8.1f} ms/step   efficiency vs 1-dev: {eff*100:5.1f}%")
+            eff = 1.0
+        else:
+            # weak: ideal time flat; strong: ideal time t1/n
+            eff = (t1 / dt) if ns.weak else (t1 / (dt * n))
+        print(f"N={n}: {dt*1e3:8.1f} ms/step   efficiency vs 1-dev: "
+              f"{eff*100:5.1f}%")
 
 
 if __name__ == "__main__":

@@ -43,7 +43,7 @@ def run(slam, entries, loader, ns, mode="stereo", raw_loader=None):
     if ns.max_frames:
         entries = entries[:ns.max_frames]
     for i, entry in enumerate(entries):
-        t, imgs = loader(entry)
+        t, imgs = loader(i, entry)
         t0 = time.perf_counter()
         state, frame = track(*imgs, t) if mode != "mono" else track(imgs[0], t)
         dt = time.perf_counter() - t0
@@ -117,7 +117,8 @@ def main(argv=None):
                       pipeline_depth=ns.pipeline,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
         entries = list(range(ns.frames))
-        loader = lambda i: (seq.timestamps[i], (seq.lefts[i], seq.rights[i]))
+        loader = lambda i, e: (seq.timestamps[i], (seq.lefts[i],
+                                                   seq.rights[i]))
         run(slam, entries, loader, ns)
         from jetson_slam_tpu.io.evaluation import ate_rmse
         est_ts, est_p = slam.camera_trajectory()
@@ -150,8 +151,10 @@ def main(argv=None):
         slam = SlamSystem(cfg, sensor="mono", enable_ba=not ns.no_ba,
                       pipeline_depth=ns.pipeline,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
-        loader = lambda e: (e[0], (datasets.imread_gray(e[1]),))
+        src = datasets.ImageSource([e[1] for e in entries])
+        loader = lambda i, e: (e[0], (src.get(i),))
         run(slam, entries, loader, ns, mode="mono")
+        src.close()
         return
 
     if ns.mode == "rgbd-tum":
@@ -160,12 +163,17 @@ def main(argv=None):
                       pipeline_depth=ns.pipeline,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
 
-        def loader(e):
-            rgb = datasets.imread_gray(e[1])
-            depth = datasets.imread_gray(e[2]).astype(np.float32) / \
+        src_rgb = datasets.ImageSource([e[1] for e in entries])
+        src_d = datasets.ImageSource([e[2] for e in entries])
+
+        def loader(i, e):
+            rgb = src_rgb.get(i)
+            depth = src_d.get(i).astype(np.float32) / \
                 cfg.camera.depth_map_factor
             return e[0], (rgb, depth)
         run(slam, entries, loader, ns, mode="rgbd")
+        src_rgb.close()
+        src_d.close()
         return
 
     # stereo datasets
@@ -178,11 +186,16 @@ def main(argv=None):
                       pipeline_depth=ns.pipeline,
                       async_mapping=ns.async_mapping, vocabulary=vocab)
 
-    def loader(e):
-        l = datasets.imread_gray(e[1])
-        r = datasets.imread_gray(e[2])
-        return e[0], rect.rectify(l, r)
+    # decode-ahead columns: native C++ ring buffer for pgm/raw, thread
+    # pool otherwise — host decode overlaps the tracker (io/datasets.py)
+    src_l = datasets.ImageSource([e[1] for e in entries])
+    src_r = datasets.ImageSource([e[2] for e in entries])
+
+    def loader(i, e):
+        return e[0], rect.rectify(src_l.get(i), src_r.get(i))
     run(slam, entries, loader, ns)
+    src_l.close()
+    src_r.close()
 
 
 if __name__ == "__main__":

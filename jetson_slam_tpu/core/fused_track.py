@@ -265,3 +265,55 @@ def fused_track(fe, cam, imgs, mode, mbf, min_z, pred_Tcw,
         th_mm, th_lm, scale_factors, inv_level_sigma2, cam_params,
         forward, backward)
     return fused_track_pull(arrays, dev_cache)
+
+
+def prewarm_fused(fe, cam, mode, scale_factors, inv_level_sigma2,
+                  cam_params, caps=(128, 256, 512, 1024, 2048)):
+    """Compile the fused step for every candidate-bucket size ahead of
+    time.  The local-map candidate arrays are bucketed to powers of two
+    (core/tracking.py _speculate_candidates), so a growing map triggers a
+    recompile per new bucket MID-RUN — measured as multi-second p99 frame
+    stalls (43 s total over a 150-frame session).  Dispatching each bucket
+    once up front (normally from a daemon thread at session start) moves
+    those compiles off the tracking path; with the persistent compilation
+    cache they are disk hits after the first session.
+
+    Reuses fused_track_dispatch itself so the traced arg types are exactly
+    the production ones."""
+    import numpy as np
+
+    S = fe.n_slots_padded
+    H, W = fe._h0w0
+    imgs = (np.zeros((H, W), np.uint8),) * (1 if mode == "mono" else 2)
+    if mode == "rgbd":
+        imgs = (imgs[0], np.zeros((H, W), np.float32))
+    last_state = {
+        "pw": np.zeros((S, 3), np.float32),
+        "has_pt": np.zeros(S, bool),
+        "real": np.zeros(S, bool),
+        "pid": np.full(S, -1, np.int32),
+        "octave": jnp.zeros(S, jnp.int32),
+        "angle": jnp.zeros(S, jnp.float32),
+        "desc": jnp.zeros((S, 32), jnp.uint8),
+        "ur": jnp.full(S, -1.0, jnp.float32),
+    }
+    pred = np.eye(4, dtype=np.float32)
+    mb = cam.bf / cam.fx
+    outs = []
+    for C in caps:
+        cand = {
+            "pos": jnp.zeros((C, 3), jnp.float32),
+            "normal": jnp.zeros((C, 3), jnp.float32),
+            "maxd": jnp.ones(C, jnp.float32),
+            "mind": jnp.zeros(C, jnp.float32),
+            "desc": jnp.zeros((C, 32), jnp.uint8),
+            "alive": jnp.zeros(C, bool),
+            "pid": jnp.full(C, -1, jnp.int32),
+        }
+        arrays, _ = fused_track_dispatch(
+            fe, cam, imgs, mode, cam.bf, mb, pred, last_state, cand,
+            7.0, 1.0, scale_factors, inv_level_sigma2, cam_params,
+            forward=False, backward=False)
+        outs.append(arrays[10])
+    for o in outs:
+        jax.block_until_ready(o)

@@ -95,6 +95,33 @@ class Tracker:
         # parent BEFORE the row can be reused for a different keyframe
         map_store.erase_hooks.append(self._on_kf_erased)
 
+    def prewarm(self, background=True, caps=(128, 256, 512, 1024, 2048)):
+        """Compile the fused whole-frame program for every candidate-bucket
+        size before the map grows into them (multi-second mid-run compile
+        stalls otherwise; disk-cache hits on later sessions).  Runs on a
+        daemon thread by default so tracking can start immediately."""
+        from .fused_track import prewarm_fused
+        mode = self.sensor
+        cam_params = (self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                      self.cam.bf, self.cam.bf / self.cam.fx,
+                      self.min_x, self.max_x, self.min_y, self.max_y,
+                      self.log_scale, self.n_levels)
+
+        def run():
+            try:
+                prewarm_fused(self.frontend, self.cam, mode,
+                              self.scale_factors, self.inv_level_sigma2,
+                              cam_params, caps=caps)
+            except Exception:  # best-effort: a failed warmup only costs time
+                pass
+
+        if not background:
+            return run()
+        import threading
+        t = threading.Thread(target=run, daemon=True, name="fused-prewarm")
+        t.start()
+        return t
+
     def _on_kf_erased(self, kid: int):
         if kid == self.ref_kf:
             parent = int(self.map.kf_parent[kid])
@@ -208,7 +235,8 @@ class Tracker:
                 # fused whole-frame step succeeded on device; apply both
                 # stages' results (motion-model semantics already verified
                 # inside the program, Tracking.cpp:1070/1110 gates above)
-                self._apply_last_matches(frame, fused.m)
+                self._apply_last_matches(frame, fused.m,
+                                         snapshot=fused.last_snap)
                 T = np.eye(4, dtype=np.float32)
                 T[:3, :3] = fused.R1
                 T[:3, 3] = fused.t1
@@ -371,9 +399,22 @@ class Tracker:
              self.log_scale, self.n_levels),
             forward=(not mono) and tz > mb,
             backward=(not mono) and -tz > mb)
+        # snapshot the DISPATCH-time last frame's slot associations: fz.m
+        # indexes THIS frame's slots, but with pipeline_depth>0 the finish
+        # runs one-to-depth frames later, when self.last_frame (and the
+        # _last_temp_* buffers _update_last_frame rewrites) have moved on.
+        # _apply_last_matches must read the snapshot, not finish-time state,
+        # or same-generation wrong pids pass the gen filter and pollute the
+        # map (see also last_gen above, which pairs with these map_points).
+        last_snap = dict(
+            map_points=lf.map_points.copy(),
+            temp_flag=(None if self._last_temp_flag is None
+                       else self._last_temp_flag.copy()),
+            temp_world=(None if self._last_temp_world is None
+                        else self._last_temp_world.copy()))
         return dict(arrays=arrays, dev_cache=dev_cache, timestamp=timestamp,
                     last_gen=last_gen, spec_gen=self._spec_gen,
-                    spec_pid=self._spec_pid)
+                    spec_pid=self._spec_pid, last_snap=last_snap)
 
     def _finish_fused(self, pending):
         """Block on a _begin_fused dispatch and build the Frame + result."""
@@ -388,6 +429,7 @@ class Tracker:
         fz.last_gen = pending["last_gen"]
         fz.spec_gen = pending["spec_gen"]
         fz.spec_pid = pending["spec_pid"]
+        fz.last_snap = pending["last_snap"]
         return frame, fz
 
     def _consume_fused_local(self, frame: Frame, fz):
@@ -671,21 +713,32 @@ class Tracker:
         frame.outlier = (match_slot >= 0) & ~inlier
         return int(n_map) >= 10
 
-    def _apply_last_matches(self, frame, match_slot):
-        """match_slot: per-current-slot index into last-frame slots."""
-        lf = self.last_frame
+    def _apply_last_matches(self, frame, match_slot, snapshot=None):
+        """match_slot: per-current-slot index into last-frame slots.
+
+        snapshot (fused pipelined path): the dispatch-time last frame's
+        {map_points, temp_flag, temp_world} — match_slot indexes THOSE
+        slots, which with frames in flight are not self.last_frame's."""
+        if snapshot is not None:
+            lf_map_points = snapshot["map_points"]
+            temp_flag = snapshot["temp_flag"]
+            temp_world = snapshot["temp_world"]
+        else:
+            lf_map_points = self.last_frame.map_points
+            temp_flag = self._last_temp_flag
+            temp_world = self._last_temp_world
         cur = np.flatnonzero(match_slot >= 0)
         last_slots = match_slot[cur]
-        pids = lf.map_points[last_slots]
+        pids = lf_map_points[last_slots]
         frame.map_points[:] = -1
         frame.temp_world = np.zeros((frame.n_slots, 3), np.float32)
         frame.temp_flag = np.zeros(frame.n_slots, bool)
         real = pids >= 0
         frame.map_points[cur[real]] = pids[real]
-        if self._last_temp_flag is not None:
-            is_temp = self._last_temp_flag[last_slots]
+        if temp_flag is not None:
+            is_temp = temp_flag[last_slots]
             frame.temp_flag[cur[is_temp]] = True
-            frame.temp_world[cur[is_temp]] = self._last_temp_world[last_slots[is_temp]]
+            frame.temp_world[cur[is_temp]] = temp_world[last_slots[is_temp]]
 
     # ================================================== pose refinement
     def _optimize_pose(self, frame: Frame):

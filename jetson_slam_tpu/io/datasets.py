@@ -106,3 +106,53 @@ def imread_gray(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path)
     return _imread_gray(path)
+
+
+class ImageSource:
+    """Decode-ahead image column for dataset replay.
+
+    The reference decodes each frame synchronously on the tracking thread
+    (stereo_euroc.cc main loop); here decoding runs ahead of the tracker:
+    .pgm/.raw columns ride the native C++ ring buffer (native/loader.cpp
+    pthread pool via io/native_loader.py), every other format a Python
+    thread pool with a sliding lookahead window.  Sequential access hits a
+    decoded frame; random access degrades to synchronous decode."""
+
+    def __init__(self, paths, height=0, width=0, ahead=6, workers=2):
+        self.paths = list(paths)
+        self._native = None
+        self._ex = None
+        try:
+            from .native_loader import PrefetchLoader
+            pl = PrefetchLoader(self.paths, height, width,
+                                n_threads=workers, capacity=max(ahead, 2))
+            if pl._handle is not None:
+                self._native = pl
+        except Exception:  # pragma: no cover - missing .so etc.
+            pass
+        if self._native is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._ex = ThreadPoolExecutor(max_workers=workers)
+            self._futs = {}
+            self._ahead = int(ahead)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, i: int) -> np.ndarray:
+        if self._native is not None:
+            return self._native.get(i)
+        for j in range(i, min(i + self._ahead, len(self.paths))):
+            if j not in self._futs:
+                self._futs[j] = self._ex.submit(imread_gray, self.paths[j])
+        fut = self._futs.pop(i, None)
+        arr = fut.result() if fut is not None else imread_gray(self.paths[i])
+        for j in [j for j in self._futs if j < i]:
+            self._futs.pop(j).cancel()
+        return arr
+
+    def close(self):
+        if self._ex is not None:
+            self._ex.shutdown(wait=False, cancel_futures=True)
+            self._ex = None
+        self._native = None

@@ -220,8 +220,10 @@ class StereoSequence:
 
 def make_stereo_sequence(seed=0, n_frames=30, h=240, w=320, fx=300.0,
                          baseline=0.4, trajectory="arc", with_depth=False,
-                         n_points=700):
-    """Camera translates + yaws through the scene; returns images + ground truth."""
+                         n_points=700, laps=1):
+    """Camera translates + yaws through the scene; returns images + ground
+    truth.  laps: revolutions for the circle/orbit trajectories (laps > 1
+    = a multi-loop soak sequence that re-visits the start repeatedly)."""
     rng = np.random.default_rng(seed)
     mode = {"circle": "ring", "orbit": "cloud"}.get(trajectory, "wall")
     scene = make_scene(rng, n_points=n_points, mode=mode)
@@ -238,7 +240,7 @@ def make_stereo_sequence(seed=0, n_frames=30, h=240, w=320, fx=300.0,
         elif trajectory == "circle":
             # full revolution on a small circle, camera looking outward at
             # the ring scene; returns to the start pose (loop closure)
-            yaw = 2 * np.pi * a
+            yaw = 2 * np.pi * a * laps
             cy_, sy_ = np.cos(yaw), np.sin(yaw)
             T[:3, :3] = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
             # small loop radius: at r=1 the camera passes within ~1.4 m of
@@ -252,7 +254,7 @@ def make_stereo_sequence(seed=0, n_frames=30, h=240, w=320, fx=300.0,
             # (well-conditioned), yet a full revolution still requires loop
             # closure: early keyframes' points leave the frustum (viewing-
             # angle gate) long before the orbit returns.
-            yaw = 2 * np.pi * a
+            yaw = 2 * np.pi * a * laps
             cy_, sy_ = np.cos(yaw), np.sin(yaw)
             R_orbit = 9.0
             # camera at angle yaw on the circle, optical axis toward origin

@@ -28,7 +28,8 @@ class SlamSystem:
     def __init__(self, config: SLAMConfig, sensor: str = SENSOR_STEREO,
                  vocabulary=None, enable_mapping: bool = True,
                  enable_ba: bool = True, async_mapping: bool = False,
-                 mapping_device=None, mesh=None, pipeline_depth: int = 0):
+                 mapping_device=None, mesh=None, pipeline_depth: int = 0,
+                 prewarm: bool = False):
         # pipeline_depth: software-pipeline the fused tracking step over
         # the host<->device link (core/tracking.py Tracker.pipeline_depth);
         # 0 = classic blocking per-frame behavior
@@ -64,6 +65,10 @@ class SlamSystem:
         self._wire(MapStore(max_points=config.max_map_points,
                             max_keyframes=config.max_keyframes,
                             n_slots=self.frontend.n_slots_padded))
+        if prewarm:
+            # compile the fused step for every candidate-bucket size on a
+            # daemon thread (kills multi-second mid-run compile stalls)
+            self.tracker.prewarm(background=True)
 
     def _wire(self, map_store, populate_database=False):
         """(Re)bind every module to `map_store`: mapper, BoW database + loop
@@ -164,6 +169,14 @@ class SlamSystem:
             return np.array([], np.int64)
         return f.map_points[f.map_points >= 0]
 
+    def get_tracked_keypoints_un(self):
+        """System::GetTrackedKeyPointsUn (System.h:123): the last frame's
+        undistorted keypoint coordinates, valid slots only — (N, 2) px."""
+        f = self.tracker.last_frame
+        if f is None:
+            return np.zeros((0, 2), np.float32)
+        return np.asarray(f.kp_xy)[np.asarray(f.valid)]
+
     def change_calibration(self, fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0,
                            p2=0.0, k3=0.0, bf=None):
         """Tracking::ChangeCalibration (Tracking.cpp:2165): swap camera
@@ -177,6 +190,10 @@ class SlamSystem:
 
     def reset(self):
         """System::Reset -> Tracking::Reset (Tracking.cpp:2117)."""
+        # finish in-flight pipelined dispatches first (mirrors shutdown):
+        # the old tracker's frames would otherwise be silently dropped from
+        # the trajectory and their device work abandoned
+        self.tracker.flush_pipeline()
         self._wire(MapStore(max_points=self.config.max_map_points,
                             max_keyframes=self.config.max_keyframes,
                             n_slots=self.frontend.n_slots_padded))

@@ -181,11 +181,14 @@ def stereo_costs_pallas(bands_left_u8, bands_right_u8, meta,
     assert bw_r % 128 == 0, "right bands must be 128-lane padded"
     while K % sb:
         sb //= 2
-    if sb < max_tiles_w - 1:
+    if sb < max_tiles_w:
+        # slot_r can sit up to max_tiles_w slots ABOVE the left slot, so a
+        # head-view offset reaches (sb-1)+max_tiles_w; covering the head
+        # range [sb, 2*sb) requires sb >= max_tiles_w — with sb smaller, no
+        # selector fires and the window silently reads zeros.
         raise ValueError(
             f"slot block size {sb} (largest power-of-two divisor of K={K} "
-            f"<= {SB}) must cover max_tiles_w-1={max_tiles_w - 1} tail "
-            f"slots")
+            f"<= {SB}) must cover max_tiles_w={max_tiles_w} head slots")
     hi = ROW0 + max(max_tile_h, max_tile_w) + PATCH_W - 1
     span = min(-(-(hi - ROW0A) // 8) * 8, bh - ROW0A)
     n_j = K // sb

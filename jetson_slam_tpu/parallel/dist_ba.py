@@ -151,14 +151,20 @@ class DistBA:
             self.n_shards, np.asarray(pts), np.asarray(e_cam),
             np.asarray(e_pt), np.asarray(obs), np.asarray(is_stereo),
             np.asarray(inv_sigma2), np.asarray(e_valid))
-        put_s = lambda x: jax.device_put(jnp.asarray(x), self._shard)
-        put_r = lambda x: jax.device_put(jnp.asarray(x), self._repl)
+        # put_global/fetch_global degrade to plain device_put/device_get on
+        # a single-process mesh; on a multi-process (cross-host) mesh each
+        # process contributes its addressable shards and the sharded
+        # outputs are all-gathered back (parallel/multihost.py)
+        from .multihost import fetch_global, put_global
+        put_s = lambda x: put_global(x, self._shard)
+        put_r = lambda x: put_global(x, self._repl)
         R2, t2, p2, outlier_p = self.step(
             put_r(cam_R), put_r(cam_t), put_r(cam_fixed),
             put_s(pts_p), put_s(e_cam_p), put_s(e_ptl_p), put_s(obs_p),
             put_s(stereo_p), put_s(inv_s2_p), put_s(valid_p),
             put_s(pt_edges_p), fx, fy, cx, cy, bf)
-        R2, t2, p2, outlier_p = jax.device_get((R2, t2, p2, outlier_p))
+        R2, t2, p2, outlier_p = (fetch_global(self.mesh, a)
+                                 for a in (R2, t2, p2, outlier_p))
         P_orig = np.asarray(pts).shape[0]
         outlier = outlier_p[e_perm] if len(e_perm) else outlier_p[:0]
         return R2, t2, p2[:P_orig], outlier

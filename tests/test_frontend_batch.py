@@ -59,3 +59,37 @@ def test_batch_sharded_over_mesh(setup):
     assert np.array_equal(np.asarray(L.desc), np.asarray(L2.desc))
     assert np.allclose(np.asarray(depth), np.asarray(d2), atol=1e-4)
     assert int(np.asarray(L.valid).sum()) > 100
+
+def test_batch_sharded_pallas_kernels(setup):
+    """Sharding x Pallas: the PRODUCTION kernel path (FAST + descriptor +
+    stereo Pallas kernels, interpret mode on CPU) must run and agree with
+    the XLA path's stereo geometry under a NamedSharding over the mesh.
+    Pins what the multichip dryrun now exercises (__graft_entry__)."""
+    seq, fe = setup
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    fe_p = OrbFrontend(120, 160, n_levels=3, scale_factor=1.2, threshold=20,
+                       tile_h=12, tile_w=12, use_pallas=True,
+                       use_pallas_desc=True, use_pallas_stereo=True)
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    B = 8
+    lefts = np.stack([seq.lefts[i % len(seq.lefts)] for i in range(B)])
+    rights = np.stack([seq.rights[i % len(seq.rights)] for i in range(B)])
+    shard = NamedSharding(mesh, P("data"))
+    lefts_s = jax.device_put(jnp.asarray(lefts), shard)
+    rights_s = jax.device_put(jnp.asarray(rights), shard)
+    L, R, u_r, depth, dist = fe_p.frame_step_batch(
+        lefts_s, rights_s, float(seq.bf), float(seq.baseline))
+    jax.block_until_ready(depth)
+    # XLA reference path, unsharded
+    L2, _, u2, d2, _ = setup[1].frame_step_batch(
+        lefts, rights, float(seq.bf), float(seq.baseline))
+    # FAST/NMS selection is bit-exact across paths
+    assert np.array_equal(np.asarray(L.valid), np.asarray(L2.valid))
+    # stereo costs are bit-identical across paths; depths must agree except
+    # where the (measured, bounded) descriptor drift flips a coarse match
+    v = np.asarray(L.valid) & np.asarray(L2.valid)
+    close = np.isclose(np.asarray(depth)[v], np.asarray(d2)[v], atol=1e-3)
+    assert close.mean() > 0.9, close.mean()
+    assert int(np.asarray(L.valid).sum()) > 100

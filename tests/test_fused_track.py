@@ -139,3 +139,46 @@ def test_pipelined_tracking_matches_blocking():
         assert ate <= max(3.0 * ate0, 0.02), (depth, ate, ate0)
         assert slam.tracker.fused_frames >= len(seq.lefts) - 5
         assert not slam.tracker._inflight
+
+def test_pipelined_associations_are_geometrically_consistent():
+    """Regression for the dispatch-time snapshot: with pipeline_depth>0,
+    fz.m indexes the DISPATCH-time last frame's slots; applying it against
+    the finish-time self.last_frame (one-to-depth frames newer) silently
+    associates wrong pids while the pose stays device-correct.  Verify the
+    associations themselves: every map point a finished frame holds must
+    reproject near its own keypoint."""
+    seq = make_stereo_sequence(seed=11, n_frames=25, h=240, w=320,
+                               trajectory="arc", n_points=900)
+    slam = make_system(seq, pipeline_depth=2)
+    frames = []
+    for i in range(len(seq.lefts)):
+        state, frame = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                         seq.timestamps[i])
+        if frame is not None:
+            frames.append(frame)
+    tail = slam.tracker.flush_pipeline()
+    slam.shutdown()
+    m = slam.map
+    errs = []
+    checked = 0
+    for frame in frames:
+        if not frame.pose_set:
+            continue
+        has = (frame.map_points >= 0) & m.pt_alive[
+            np.maximum(frame.map_points, 0)]
+        if has.sum() == 0:
+            continue
+        pw = m.pt_pos[frame.map_points[has]]
+        pc = (frame.Rcw @ pw.T).T + frame.tcw
+        z = np.maximum(pc[:, 2], 1e-6)
+        u = slam.config.camera.fx * pc[:, 0] / z + slam.config.camera.cx
+        v = slam.config.camera.fy * pc[:, 1] / z + slam.config.camera.cy
+        kp = frame.kp_xy[has]
+        errs.append(np.hypot(u - kp[:, 0], v - kp[:, 1]))
+        checked += int(has.sum())
+    assert checked > 200, checked
+    err = np.concatenate(errs)
+    # BA refines points after the frame passed, so allow slack — but wrong-
+    # frame associations put most points tens-to-hundreds of px off
+    assert np.median(err) < 3.0, np.median(err)
+    assert (err < 10.0).mean() > 0.9, (err < 10.0).mean()

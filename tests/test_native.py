@@ -60,3 +60,34 @@ def test_prefetch_loader_python_fallback(tmp_path, rng):
     loader = PrefetchLoader([p])
     got = loader.get(0)
     np.testing.assert_array_equal(got, img)
+
+
+def test_image_source_native_and_fallback(tmp_path, rng):
+    """io.datasets.ImageSource: the replay decode-ahead wrapper rides the
+    native ring buffer for .pgm columns and the thread-pool fallback for
+    .npy — both must return the exact frames in order."""
+    from jetson_slam_tpu.io.datasets import ImageSource
+
+    frames = [rng.integers(0, 255, (24, 32), np.uint8) for _ in range(6)]
+    pgm_paths, npy_paths = [], []
+    for i, f in enumerate(frames):
+        p = tmp_path / f"f{i}.pgm"
+        with open(p, "wb") as fh:
+            fh.write(b"P5\n32 24\n255\n" + f.tobytes())
+        pgm_paths.append(str(p))
+        q = tmp_path / f"f{i}.npy"
+        np.save(q, f)
+        npy_paths.append(str(q))
+
+    src = ImageSource(pgm_paths, height=24, width=32)
+    if native_available():
+        assert src._native is not None
+    for i, f in enumerate(frames):
+        assert np.array_equal(src.get(i), f)
+    src.close()
+
+    src = ImageSource(npy_paths)
+    assert src._native is None  # .npy -> python thread-pool path
+    for i, f in enumerate(frames):
+        assert np.array_equal(src.get(i), f)
+    src.close()

@@ -85,3 +85,55 @@ def test_trajectory_save_roundtrip(tmp_path, seq):
     assert len(ts) >= 6
     kf_p = str(tmp_path / "kf.txt")
     slam.save_keyframe_trajectory_tum(kf_p)
+
+
+def test_tracked_keypoints_and_points_api(seq):
+    """System::GetTrackedMapPoints / GetTrackedKeyPointsUn equivalents
+    (System.h:120-123): after tracking, the session exposes the last
+    frame's associated map points and undistorted keypoints."""
+    slam = make_system(seq)
+    run_sequence(slam, seq, n=8)
+    pts = slam.get_tracked_map_points()
+    kps = slam.get_tracked_keypoints_un()
+    assert len(pts) > 10
+    assert kps.ndim == 2 and kps.shape[1] == 2 and len(kps) > 50
+    w, h = slam.config.camera.width, slam.config.camera.height
+    assert (kps[:, 0] > -50).all() and (kps[:, 0] < w + 50).all()
+    assert (kps[:, 1] > -50).all() and (kps[:, 1] < h + 50).all()
+    slam.shutdown()
+
+
+@pytest.mark.slow
+def test_vo_at_euroc_geometry():
+    """End-to-end tracking at the reference's EuRoC operating point:
+    752x480, 8 pyramid levels, tile 30 (EuRoC.yaml:25-26,94-112).  All
+    other e2e coverage runs 320x240x4; this pins the production geometry
+    (band sizing, level tables, stereo kernel block geometry) end to end."""
+    seq = make_stereo_sequence(seed=5, n_frames=10, h=480, w=752,
+                               trajectory="arc", n_points=1600)
+    cfg = SLAMConfig()
+    cfg.camera.fx, cfg.camera.fy = seq.fx, seq.fy
+    cfg.camera.cx, cfg.camera.cy = seq.cx, seq.cy
+    cfg.camera.width, cfg.camera.height = 752, 480
+    cfg.camera.bf = seq.bf
+    cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
+    cfg.camera.th_depth = 40.0
+    cfg.orb.n_levels = 8
+    cfg.orb.tile_h = 30
+    cfg.orb.tile_w = 30
+    cfg.orb.th_fast_max = 20
+    cfg.max_map_points = 32768
+    cfg.max_keyframes = 64
+    slam = SlamSystem(cfg, sensor="stereo")
+    states = []
+    for i in range(len(seq.lefts)):
+        state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
+                                     seq.timestamps[i])
+        states.append(state)
+    slam.shutdown()
+    ok = sum(s == TrackingState.OK for s in states)
+    assert ok >= len(states) - 2, states
+    est_ts, est_p = slam.camera_trajectory()
+    ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
+                   seq.timestamps, seq.poses_twc)
+    assert ate < 0.08, f"ATE {ate:.3f} at EuRoC geometry"
