@@ -37,6 +37,13 @@ def run(slam, entries, loader, ns, mode="stereo", raw_loader=None):
 
     viewer = Viewer(out_dir=ns.viewer, tile_h=slam.config.orb.tile_h,
                     tile_w=slam.config.orb.tile_w) if ns.viewer else None
+    live = None
+    if getattr(ns, "live_viewer", 0):
+        from jetson_slam_tpu.viz.live_server import LiveViewer
+        live = LiveViewer(slam, port=ns.live_viewer,
+                          tile_h=slam.config.orb.tile_h,
+                          tile_w=slam.config.orb.tile_w)
+        print(f"live viewer: http://127.0.0.1:{live.port}/")
     track = {"stereo": slam.track_stereo, "rgbd": slam.track_rgbd,
              "mono": slam.track_monocular}[mode]
     times = []
@@ -50,9 +57,13 @@ def run(slam, entries, loader, ns, mode="stereo", raw_loader=None):
         times.append(dt)
         if viewer is not None:
             viewer.update(slam, imgs[0], frame)
+        if live is not None:
+            live.update(slam, imgs[0], frame)
         if i % 20 == 0:
             print(f"frame {i}: {dt*1e3:.1f} ms  state={state.name}")
     slam.shutdown()
+    if live is not None:
+        live.close()
     times = np.array(times)
     print(f"median tracking time: {np.median(times)*1e3:.2f} ms")
     print(f"mean tracking time:   {times.mean()*1e3:.2f} ms")
@@ -79,6 +90,9 @@ def main(argv=None):
     ap.add_argument("--pipeline", type=int, default=0,
                     help="fused-tracking pipeline depth (frames in flight)")
     ap.add_argument("--viewer", default="", help="PNG output directory")
+    ap.add_argument("--live-viewer", type=int, default=0, metavar="PORT",
+                    help="serve a live interactive browser view of the "
+                         "session on this port (viz/live_server.py)")
     ap.add_argument("--kitti-format", action="store_true")
     ap.add_argument("--vocab", default="",
                     help="'small' / '10k' (bundled) or a "
