@@ -65,20 +65,27 @@ def main():
     vocab = Vocabulary.train(np.concatenate(descs), k=6, L=3, seed=0)
 
     slam = SlamSystem(cfg, sensor="stereo", vocabulary=vocab,
-                      async_mapping=True, pipeline_depth=DEPTH, prewarm=True)
+                      async_mapping=True, pipeline_depth=DEPTH)
+    # warm up BEFORE the stream starts (a deployment warms before the
+    # camera rolls): a BACKGROUND prewarm contends with the async mapper
+    # for the chip during the first minutes — measured to starve map-point
+    # creation on slow-motion sequences until tracking drops LOST
+    slam.tracker.prewarm(background=False)
+    from jetson_slam_tpu.core.tracking import TrackingState
     t_frames = []
-    lost = 0
-    import tracemalloc
+    states = []
     for i in range(N):
         t0 = time.perf_counter()
         state, _ = slam.track_stereo(seq.lefts[i], seq.rights[i],
                                      seq.timestamps[i])
         t_frames.append(time.perf_counter() - t0)
+        states.append(state)
         if i and i % 250 == 0:
             arr = np.array(t_frames[max(0, i - 250):]) * 1e3
+            lost = sum(s == TrackingState.LOST for s in states[-250:])
             print(f"frame {i}: window median {np.median(arr):5.1f} ms  "
-                  f"p99 {np.percentile(arr, 99):7.1f}  loops "
-                  f"{slam.loop_closer.n_loops_closed}  kf_rows "
+                  f"p99 {np.percentile(arr, 99):7.1f}  lost {lost}/250  "
+                  f"loops {slam.loop_closer.n_loops_closed}  kf_rows "
                   f"{slam.map._next_kf}/{cfg.max_keyframes}  alive "
                   f"{int(slam.map.kf_alive.sum())}  pt_rows "
                   f"{slam.map._next_pt}/{cfg.max_map_points}", flush=True)

@@ -53,6 +53,11 @@ def collect_descriptors(n_scenes=40, frames_per_scene=6, h=240, w=320):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a sitecustomize force-registers the
+    # TPU tunnel plugin (training must not contend with a live session)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="jetson_slam_tpu/data/vocab_10k.txt.gz")
     ap.add_argument("--k", type=int, default=10)

@@ -90,6 +90,9 @@ class Tracker:
         # behavior (identical semantics to the reference).
         self.pipeline_depth = int(pipeline_depth)
         self._inflight = []        # FIFO of pending fused dispatches
+        # no-vocabulary relocalization: rotating candidate-window offset
+        # so successive LOST frames sweep ALL keyframes (reset on success)
+        self._reloc_rr = 0
         # keyframe rows are recycled (core/map.py): if the tracker's
         # reference keyframe is culled, fall back to its spanning-tree
         # parent BEFORE the row can be reused for a different keyframe
@@ -1009,12 +1012,26 @@ class Tracker:
         candidate loop was a ~0.5-1 s stall at this environment's ~24 ms
         tunnel RTT."""
         m = self.map
+        kfs = []
         if self.database is not None:
             kfs = self.database.detect_relocalization_candidates(
                 frame.desc[frame.valid], m)
             kfs = [int(k) for k in kfs if m.kf_alive[k]]
-        else:
-            kfs = [int(k) for k in m.keyframe_ids()[-10:]][::-1]
+        if len(kfs) < self.RELOC_MAX_CANDIDATES:
+            # fill the remaining slots by ROTATING a window across ALL
+            # keyframes on successive LOST frames (recent-first on the
+            # first attempt).  A fixed "most recent" fallback never
+            # proposes older map regions — measured to leave the tracker
+            # LOST forever while staring at mapped territory on multi-lap
+            # sequences; the rotation also backstops weak BoW recall.
+            ids = [int(k) for k in m.keyframe_ids()][::-1]  # recent first
+            if len(ids) > self.RELOC_MAX_CANDIDATES:
+                off = (self._reloc_rr * self.RELOC_MAX_CANDIDATES) \
+                    % len(ids)
+                ids = ids[off:] + ids[:off]
+                self._reloc_rr += 1
+            seen = set(kfs)
+            kfs = kfs + [k for k in ids if k not in seen]
         if not kfs:
             return False
         C = self.RELOC_MAX_CANDIDATES
@@ -1075,6 +1092,7 @@ class Tracker:
         frame.set_pose(T)
         frame.outlier = (frame.map_points >= 0) & ~inlier[best]
         self.last_reloc_frame_id = frame.frame_id
+        self._reloc_rr = 0
         return True
 
 
