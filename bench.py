@@ -135,7 +135,9 @@ def slam_loop_bench(n_frames=120, depth=2, warm=20):
     slam = SlamSystem(cfg, sensor="stereo", async_mapping=True,
                       pipeline_depth=depth)
     slam.tracker.prewarm(background=False)
-    for i in range(len(seq.lefts)):  # warm lap: compile mapper buckets
+    # warm lap (compiles the mapper-bucket programs this sequence uses) —
+    # 60 frames cover the buckets; then reset to a fresh map and measure
+    for i in range(min(60, len(seq.lefts))):
         slam.track_stereo(seq.lefts[i], seq.rights[i], seq.timestamps[i])
     slam.reset()
     t_frames = []
