@@ -128,7 +128,7 @@ def main(argv=None):
         cfg.camera.k1 = cfg.camera.k2 = cfg.camera.p1 = cfg.camera.p2 = 0.0
         cfg.orb.n_levels = 4; cfg.orb.tile_h = 16; cfg.orb.tile_w = 16
         slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
-                      pipeline_depth=ns.pipeline,
+                      pipeline_depth=ns.pipeline, prewarm=ns.pipeline > 0,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
         entries = list(range(ns.frames))
         loader = lambda i, e: (seq.timestamps[i], (seq.lefts[i],
@@ -163,7 +163,7 @@ def main(argv=None):
                    "mono-euroc": datasets.load_euroc_mono}
         entries = loaders[ns.mode](ns.args[1])
         slam = SlamSystem(cfg, sensor="mono", enable_ba=not ns.no_ba,
-                      pipeline_depth=ns.pipeline,
+                      pipeline_depth=ns.pipeline, prewarm=ns.pipeline > 0,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
         src = datasets.ImageSource([e[1] for e in entries])
         loader = lambda i, e: (e[0], (src.get(i),))
@@ -174,7 +174,7 @@ def main(argv=None):
     if ns.mode == "rgbd-tum":
         entries = datasets.load_tum_rgbd(ns.args[1], ns.args[2])
         slam = SlamSystem(cfg, sensor="rgbd", enable_ba=not ns.no_ba,
-                      pipeline_depth=ns.pipeline,
+                      pipeline_depth=ns.pipeline, prewarm=ns.pipeline > 0,
                           async_mapping=ns.async_mapping, vocabulary=vocab)
 
         src_rgb = datasets.ImageSource([e[1] for e in entries])
@@ -197,7 +197,7 @@ def main(argv=None):
     else:
         entries = datasets.load_kitti_stereo(ns.args[1])
     slam = SlamSystem(cfg, sensor="stereo", enable_ba=not ns.no_ba,
-                      pipeline_depth=ns.pipeline,
+                      pipeline_depth=ns.pipeline, prewarm=ns.pipeline > 0,
                       async_mapping=ns.async_mapping, vocabulary=vocab)
 
     # decode-ahead columns: native C++ ring buffer for pgm/raw, thread

@@ -113,6 +113,62 @@ class MapStore:
                 return pid
         raise RuntimeError("map point capacity exhausted")
 
+    def _alloc_pts_batch(self, n):
+        """n free rows in cursor order (same policy as _alloc_pt, one
+        vectorized scan instead of n linear ones)."""
+        P = self.max_points
+        free = np.flatnonzero(~self.pt_alive)
+        if len(free) < n:
+            raise RuntimeError("map point capacity exhausted")
+        # rotate so allocation continues from the cursor, like _alloc_pt
+        k = np.searchsorted(free, self._next_pt)
+        free = np.concatenate([free[k:], free[:k]])[:n]
+        self._next_pt = (int(free[-1]) + 1) % P
+        return free
+
+    def add_points_batch(self, kid, slots, positions, scale_factors,
+                         n_levels):
+        """Create ONE new single-observation map point per (kid, slot) —
+        the CreateNewKeyFrame close-point spawn (Tracking.cpp:1301-1332) —
+        with every per-point field written vectorized.  Equivalent to
+        add_point + add_observation + init_point_single_obs per slot
+        (which cost ~17 ms/keyframe of host loops at ~200 points).
+        Returns the new pids aligned with `slots`."""
+        slots = np.asarray(slots, np.int64)
+        n = len(slots)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        pids = self._alloc_pts_batch(n)
+        self.pt_gen[pids] += 1
+        self.pt_alive[pids] = True
+        self.pt_pos[pids] = positions
+        self.pt_desc[pids] = self.kf_desc[kid, slots]
+        self.pt_visible[pids] = 1
+        self.pt_found[pids] = 1
+        self.pt_first_kf[pids] = kid
+        self.pt_ref_kf[pids] = kid
+        # single-obs normal/depth (init_point_single_obs, vectorized)
+        center = self.camera_center(kid)
+        nvec = positions - center[None, :]
+        d = np.maximum(np.linalg.norm(nvec, axis=1), 1e-9)
+        self.pt_normal[pids] = nvec / d[:, None]
+        sf = np.asarray(scale_factors, np.float32)
+        lv = self.kf_kp_octave[kid, slots]
+        self.pt_max_dist[pids] = d * sf[lv]
+        self.pt_min_dist[pids] = self.pt_max_dist[pids] / sf[n_levels - 1]
+        # observations: displace any stale pid the slot still referenced
+        # (dead or zero-obs points pass the caller's create filter), then
+        # write the fresh ones
+        for slot in slots[self.kf_obs[kid, slots] >= 0]:
+            old = int(self.kf_obs[kid, slot])
+            self._pt_obs.get(old, {}).pop(int(kid), None)
+        self.kf_obs[kid, slots] = pids
+        stereo = self.kf_kp_ur[kid, slots] >= 0
+        self.pt_nobs[pids] = np.where(stereo, 2, 1)
+        for pid, slot in zip(pids, slots):
+            self._pt_obs[int(pid)] = {int(kid): int(slot)}
+        return pids
+
     def add_observation(self, kf, slot, pid):
         old = self.kf_obs[kf, slot]
         if old == pid:

@@ -973,26 +973,33 @@ class Tracker:
         self.ref_kf = kid
         frame.ref_kf = kid
         if self.sensor != "mono":
+            # close-point spawn, vectorized (Tracking.cpp:1301-1332): walk
+            # slots by increasing depth; every slot counts toward n_points
+            # whether created or pre-tracked, and the walk stops at the
+            # first slot with depth > th once n_points > 100 — so the
+            # processed prefix is order[:J] with J = first index >= 100
+            # whose depth exceeds th (the loop's j-th iteration has
+            # n_points = j+1)
             depth = frame.depth
             valid_d = (depth > 0) & frame.valid
             order = np.argsort(np.where(valid_d, depth, np.inf))
-            n_points = 0
-            for slot in order:
-                if not valid_d[slot]:
-                    break
-                pid = frame.map_points[slot]
-                create = pid < 0 or not m.pt_alive[pid] or m.pt_nobs[pid] < 1
-                if create:
-                    pos = frame.unproject_stereo(slot)
-                    pid = m.add_point(pos, frame.desc[slot], kid)
-                    m.add_observation(kid, slot, pid)
-                    m.kf_obs[kid, slot] = pid
-                    frame.map_points[slot] = pid
-                    m.init_point_single_obs(pid, kid, slot,
-                                            self.scale_factors, self.n_levels)
-                n_points += 1
-                if depth[slot] > self.th_depth and n_points > 100:
-                    break
+            n_valid = int(valid_d.sum())
+            order = order[:n_valid]
+            far = depth[order] > self.th_depth
+            far[:100] = False
+            # the loop breaks AFTER processing the triggering slot, so the
+            # processed prefix is inclusive of it
+            J = int(np.argmax(far)) + 1 if far.any() else n_valid
+            sel = order[:J]
+            pid0 = frame.map_points[sel]
+            dead = (pid0 < 0) | ~m.pt_alive[np.maximum(pid0, 0)] | \
+                (m.pt_nobs[np.maximum(pid0, 0)] < 1)
+            create = sel[dead]
+            if len(create):
+                pos = frame.unproject_stereo_batch(create)
+                pids = m.add_points_batch(kid, create, pos,
+                                          self.scale_factors, self.n_levels)
+                frame.map_points[create] = pids
         self.last_kf_frame_id = frame.frame_id
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(kid)

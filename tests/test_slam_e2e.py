@@ -137,3 +137,54 @@ def test_vo_at_euroc_geometry():
     ate = ate_rmse(np.asarray(est_ts), np.asarray(est_p),
                    seq.timestamps, seq.poses_twc)
     assert ate < 0.08, f"ATE {ate:.3f} at EuRoC geometry"
+
+
+def test_add_points_batch_matches_sequential(seq):
+    """MapStore.add_points_batch (vectorized CreateNewKeyFrame spawn) must
+    write exactly what the sequential add_point + add_observation +
+    init_point_single_obs chain writes."""
+    import copy
+
+    slam = make_system(seq)
+    run_sequence(slam, seq, n=6)
+    tr = slam.tracker
+    m = slam.map
+    # a fresh frame with stereo depths, not yet a keyframe
+    state, frame = slam.track_stereo(seq.lefts[6], seq.rights[6],
+                                     seq.timestamps[6])
+    kid = m.add_keyframe(frame)
+    depth = frame.depth
+    valid_d = (depth > 0) & frame.valid
+    cand = np.flatnonzero(valid_d)[:50]
+    pid0 = frame.map_points[cand]
+    dead = (pid0 < 0) | ~m.pt_alive[np.maximum(pid0, 0)] | \
+        (m.pt_nobs[np.maximum(pid0, 0)] < 1)
+    slots = cand[dead]
+    assert len(slots) > 5
+    pos = frame.unproject_stereo_batch(slots)
+
+    hooks, m.erase_hooks = m.erase_hooks, []   # don't deep-copy the tracker
+    m2 = copy.deepcopy(m)
+    m.erase_hooks = hooks
+    # sequential oracle on the copy
+    seq_pids = []
+    for s, p in zip(slots, pos):
+        pid = m2.add_point(p, frame.desc[s], kid)
+        m2.add_observation(kid, int(s), pid)
+        m2.kf_obs[kid, s] = pid
+        m2.init_point_single_obs(pid, kid, int(s), tr.scale_factors,
+                                 tr.n_levels)
+        seq_pids.append(pid)
+    pids = m.add_points_batch(kid, slots, pos, tr.scale_factors, tr.n_levels)
+    assert np.array_equal(np.asarray(pids), np.asarray(seq_pids))
+    for f in ("pt_alive", "pt_pos", "pt_desc", "pt_normal", "pt_min_dist",
+              "pt_max_dist", "pt_nobs", "pt_visible", "pt_found",
+              "pt_first_kf", "pt_ref_kf", "pt_gen"):
+        a, b = getattr(m, f), getattr(m2, f)
+        assert np.allclose(np.asarray(a, np.float64),
+                           np.asarray(b, np.float64), atol=1e-5), f
+    assert np.array_equal(m.kf_obs[kid], m2.kf_obs[kid])
+    for pid in pids:
+        assert m._pt_obs[int(pid)] == m2._pt_obs[int(pid)]
+    assert m._next_pt == m2._next_pt
+    slam.shutdown()
