@@ -49,9 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 from . import tables
 from .bands import MARGIN
 
-SB = 128         # slots per program (default; tuned on v5e — see
-                 # examples/check_desc_v3.py: 128/128 beat 32/512 by ~15%)
-CHUNK = 128      # rBRIEF pattern points per inner step (512 / CHUNK steps)
+SB = 128         # slots per program (tuned on v5e; round-5 sweep over
+                 # sb {32,64,128} x chunk {64,128,256} on production
+                 # shapes: 128/256 fastest, bit-identical outputs)
+CHUNK = 256      # rBRIEF pattern points per inner step (512 / CHUNK steps)
 IC_HALF = tables.HALF_PATCH_SIZE          # 15
 ICP = 2 * IC_HALF + 1                     # 31
 ICP_PAD = 32
